@@ -1,0 +1,132 @@
+"""Spark-native inverted-index build: pages -> postings + stats.
+
+Pipeline (all DataFrame/Arrow, no per-row Python — BASELINE.json
+input_hint):
+
+    pages(url, warc_ts, html, text, lang)
+      -> doc_id = F.xxhash64(url)            (JVM codegen; oracle parity
+                                              proven in tests/test_textproc.py)
+      -> text   = extract_udf(html)          (Arrow-vectorized pandas UDF,
+                                              shared code path w/ oracle)
+      -> tokens = tokenize_udf(text)         (Arrow-vectorized)
+      -> postings(term, doc_id, tf, dl)      (explode + hash agg;
+                                              map-side combine)
+      -> term_stats(term, df)                (hash agg)
+      -> corpus stats (n_docs, avgdl)
+
+Scale notes (the part that matters at 10^12 docs):
+  * extraction/tokenization are narrow maps — no shuffle, scales linearly.
+  * the postings groupBy key is (term, doc_id): near-unique, so head-term
+    Zipf skew does NOT skew this shuffle (every row lands on its own key);
+    partial aggregation (map-side combine) collapses duplicates early.
+  * term_stats groupBy(term) IS skewed under Zipf; Spark's partial count
+    makes each map task emit one row per distinct term, so the reduce-side
+    hot key receives at most #map-tasks rows — bounded, not data-sized.
+  * dl is denormalized into postings (classic doc-length array is
+    per-executor state; in DataFrame land the +8B/posting buys us a
+    join-free scoring path). The segment/WAND path (segments.py) packs dl
+    inside posting blocks instead.
+
+The reference analogue: bulk ingest w/ stable hashed ids
+(/root/reference/fornax/api.py:357-489, 31-47) and the match table that
+drives candidate generation (api.py:681-751) — postings(term, doc_id, tf)
+play the role of matches(v, u, weight).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .textproc import extract_text, tokenize
+
+
+@F.pandas_udf(T.StringType())
+def extract_udf(html: pd.Series) -> pd.Series:
+    """Arrow-vectorized HTML->text via the shared extractor."""
+    return html.map(lambda b: extract_text(bytes(b)))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenizer via the shared code path."""
+    return text.map(tokenize)
+
+
+@dataclass
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+def docs_with_tokens(pages: DataFrame, from_html: bool = True) -> DataFrame:
+    """pages -> (doc_id, dl, tokens). doc_id is JVM-side xxhash64(url)."""
+    text_col = extract_udf(F.col("html")) if from_html else F.col("text")
+    return (
+        pages.select(
+            F.xxhash64(F.col("url")).alias("doc_id"),
+            tokenize_udf(text_col).alias("tokens"),
+        )
+        .withColumn("dl", F.size("tokens"))
+    )
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tokens) -> postings(term, doc_id, tf, dl).
+
+    Key (term, doc_id) is near-unique -> skew-free shuffle; count() has
+    map-side partial aggregation.
+    """
+    return (
+        docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def build_term_stats(postings: DataFrame) -> DataFrame:
+    """postings -> term_stats(term, df). Partial agg bounds Zipf skew."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(docs: DataFrame) -> CorpusStats:
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    ).collect()[0]
+    n = int(row["n"]) or 0
+    return CorpusStats(n_docs=n, avgdl=(float(row["total"]) / n) if n else 0.0)
+
+
+@dataclass
+class InvertedIndex:
+    """In-session handle to a built index (DataFrame form)."""
+
+    postings: DataFrame
+    term_stats: DataFrame
+    stats: CorpusStats
+
+    def persist(self) -> "InvertedIndex":
+        self.postings.persist()
+        self.term_stats.persist()
+        return self
+
+
+def build_index(
+    spark: SparkSession, pages: DataFrame, from_html: bool = True
+) -> InvertedIndex:
+    docs = docs_with_tokens(pages, from_html=from_html)
+    docs.persist()
+    stats = corpus_stats(docs)  # action: materializes the tokenized cache
+    postings = build_postings(docs).persist()
+    postings.count()  # materialize postings so docs cache can be dropped
+    docs.unpersist()
+    return InvertedIndex(
+        postings=postings,
+        term_stats=build_term_stats(postings),
+        stats=stats,
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local-mode testing uses local[N]; the same configuration knobs are the
+ones that matter on a real multi-executor cluster (shuffle partitions,
+AQE, Arrow). Nothing here is sandbox-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fornax_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: local parallelism (defaults to $SPARK_GRAFT_CPUS or '*').
+    shuffle_partitions: defaults to max(cores, 32) locally; on a real
+    cluster this should be ~2-3x total executor cores — callers running
+    at scale pass it explicitly.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        ncores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        ncores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(ncores, 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
