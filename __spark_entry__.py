@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship BM25 top-k over sf0.001 documents.
+queries()      -> one callable per implemented operator (SURVEY.md §2 +
+                  the training-pipeline operators).
+oracle_sql()   -> DuckDB-equivalent ANSI SQL per query (omitted only for
+                  genuinely non-SQL-expressible ops: LSH/MinHash/SimHash
+                  approximate candidate generation — those get the
+                  weaker rows-only check, with exact-variant siblings
+                  that ARE SQL-checked).
+
+Float policy: every floating-point output column is rounded (2-6 dp) in
+BOTH engines so last-ulp differences in ln/sum order can't flip the
+driver's value hash. Ordering ties are always broken by a unique key.
 """
 
 from __future__ import annotations
@@ -12,27 +19,664 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# fixed reference query for the flagship fulltext entries
+FT_QUERY = "spark join window"
+FT_K = 10
+
+BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), tf AS (
+  SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, round(score, 4) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# fulltext engine entries (documents table = extracted-text corpus)
+# ---------------------------------------------------------------------------
+
+
+def _ft_index(spark: SparkSession, sf_dir: str):
+    from fornax_spark.fulltext.build import build_index_from_table
+
+    return build_index_from_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.fulltext.query import search
+
+    idx = _ft_index(spark, sf_dir)
+    out = search(spark, idx, FT_QUERY, k=FT_K)
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ft_index(spark, sf_dir).postings.select("term", "doc_id", "tf")
+
+
+def q_ft_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ft_index(spark, sf_dir).term_stats.select("term", "df")
+
+
+def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.fulltext.build import docs_from_table
+
+    return docs_from_table(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id", "dl"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish entries (SURVEY.md §2.2 operator coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("rev", 2).alias("revenue"),
+        )
+    )
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+def q_nation_hop2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.graph import hhop_neighbours, undirect_edges
+
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("start"), F.col("b.n_nationkey").alias("end")
+    )
+    return hhop_neighbours(undirect_edges(edges), h=2).select(
+        "node", "neighbour", "distance"
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.sessions import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_docs_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 parity: stable content-hash ids (reference api.py:31-47 uses
+    # sha256(str(x)); we keep sha256 hex, verifiable in ANSI SQL)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis entries
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.textstats import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dedup entries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate candidate generation -> rows-only driver check; the
+    # exact-Jaccard verification path is SQL-checked via
+    # ngram_jaccard_pairs above and the pytest recall test.
+    from fornax_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=64, n=3, bands=16, threshold=0.3
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search entries
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fornax_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (bucketed) variant -> rows-only check; recall vs the
+    # exact top-k is asserted in pytest.
+    from fornax_spark.operators.similarity import ann_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return ann_topk_lsh(emb, _query_vec(spark, sf_dir), dim=64, k=10, n_planes=8)
+
+
+def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact pairwise baseline (SQL-checked); LSH-bucketed near-dup pairs
+    # are the scale path (operators/similarity.embedding_near_dup_pairs)
+    from fornax_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+        ).alias("cos"),
+    )
+    return (
+        pairs.filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    return q_ft_bm25_topk(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_postings": q_ft_postings,
+        "ft_term_stats": q_ft_term_stats,
+        "ft_doc_stats": q_ft_doc_stats,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
+        "q6_revenue_delta": q_q6_revenue_delta,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "nation_hop2": q_nation_hop2,
+        "sessionize_events": q_sessionize_events,
+        "events_rollup": q_events_rollup,
+        "docs_lang_rollup": q_docs_lang_rollup,
+        "stable_ids": q_stable_ids,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "emb_similar_pairs": q_emb_similar_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls: dict[str, str] = {}
+
+    sqls["ft_bm25_topk"] = BM25_SQL
+
+    sqls["ft_postings"] = f"""
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+        GROUP BY 1, 2
     """
-    return {}
+
+    sqls["ft_term_stats"] = f"""
+        SELECT term, count(*)::BIGINT AS df FROM (
+          SELECT DISTINCT term, doc_id
+          FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
+        ) GROUP BY 1
+    """
+
+    sqls["ft_doc_stats"] = f"""
+        SELECT doc_id, len({TOKENS_SQL})::INT AS dl FROM documents
+    """
+
+    sqls["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """
+
+    sqls["q3_shipping_priority"] = """
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey ASC
+        LIMIT 10
+    """
+
+    sqls["q5_region_revenue"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """
+
+    sqls["q6_revenue_delta"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+    sqls["top3_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+               CAST(rn AS INT) AS rn
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+    """
+
+    sqls["nation_hop2"] = """
+        WITH edges AS (
+          SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+          FROM nation a JOIN nation b
+            ON a.n_regionkey = b.n_regionkey
+           AND a.n_nationkey <> b.n_nationkey
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), d0 AS (
+          SELECT node, node AS neighbour, 0 AS distance FROM nodes
+        ), d1 AS (
+          SELECT src AS node, dst AS neighbour, 1 AS distance FROM edges
+        ), d2 AS (
+          SELECT e1.src AS node, e2.dst AS neighbour, 2 AS distance
+          FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+        ), alld AS (
+          SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        )
+        SELECT node, neighbour, MIN(distance) AS distance
+        FROM alld GROUP BY 1, 2
+    """
+
+    sqls["sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*)::BIGINT AS n_events,
+               epoch_us(min(ts))::BIGINT AS start_us,
+               epoch_us(max(ts))::BIGINT AS end_us
+        FROM s GROUP BY 1, 2
+    """
+
+    sqls["events_rollup"] = """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY ROLLUP (event_type)
+    """
+
+    sqls["docs_lang_rollup"] = """
+        SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+        FROM documents GROUP BY ROLLUP (lang, source)
+    """
+
+    sqls["stable_ids"] = """
+        SELECT doc_id, sha256(text) AS content_sha FROM documents
+    """
+
+    sqls["token_count"] = f"""
+        SELECT doc_id, len({TOKENS_SQL})::INT AS n_tokens FROM documents
+    """
+
+    sqls["quality_score"] = f"""
+        WITH t AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        )
+        SELECT doc_id,
+               round(
+                 0.5 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * CASE WHEN len(toks) > 0
+                      THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0 END
+                 + 0.2 * (1.0 - CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN
+                        ('the','a','and','of','to','in','is')))::DOUBLE / len(toks)
+                      ELSE 0 END),
+               6) AS quality
+        FROM t
+    """
+
+    sqls["lang_id"] = f"""
+        WITH t AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), c AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS c_en,
+            len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+            len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS c_fr,
+            len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS c_es
+          FROM t
+        )
+        SELECT doc_id,
+          CASE
+            WHEN c_es > c_fr AND c_es > c_de AND c_es > c_en THEN 'es'
+            WHEN c_fr > c_de AND c_fr > c_en THEN 'fr'
+            WHEN c_de > c_en THEN 'de'
+            WHEN c_en > 0 THEN 'en'
+            ELSE 'und'
+          END AS pred_lang
+        FROM c
+    """
+
+    sqls["fingerprint"] = f"""
+        WITH t AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   [(length(x) * 131 + ascii(x))::BIGINT for x in toks]),
+                 (a, b) -> (a * 1000003 + b) % 2147483647
+               ) AS fingerprint
+        FROM t
+    """
+
+    sqls["dedup_exact"] = """
+        SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+        FROM documents GROUP BY text
+    """
+
+    sqls["ngram_jaccard_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+            THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  for i in range(1, len(toks) - 1)]
+            ELSE [] END)) AS shingle
+          FROM t
+        ), sizes AS (
+          SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
+    """
+
+    sqls["ann_cosine_topk"] = """
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
+        LIMIT 10
+    """
+
+    sqls["emb_similar_pairs"] = """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """
+
+    # minhash_pairs / simhash_pairs / ann_lsh_topk: approximate candidate
+    # generation (LSH banding, hyperplane buckets) — not SQL-expressible;
+    # rows-only driver check + pytest recall assertions.
+    return sqls

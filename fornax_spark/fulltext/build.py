@@ -116,6 +116,33 @@ class InvertedIndex:
         return self
 
 
+def docs_from_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Adapter: any (id, text) table -> (doc_id, dl, tokens) using the
+    shared tokenizer (for corpora that already carry extracted text)."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokenize_udf(F.col(text_col)).alias("tokens"),
+    ).withColumn("dl", F.size("tokens"))
+
+
+def build_index_from_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> InvertedIndex:
+    docs = docs_from_table(df, id_col, text_col)
+    docs.persist()
+    stats = corpus_stats(docs)
+    postings = build_postings(docs).persist()
+    postings.count()
+    docs.unpersist()
+    return InvertedIndex(
+        postings=postings, term_stats=build_term_stats(postings), stats=stats
+    )
+
+
 def build_index(
     spark: SparkSession, pages: DataFrame, from_html: bool = True
 ) -> InvertedIndex:

@@ -1,0 +1,241 @@
+"""Segment store: compressed posting blocks, document-sharded.
+
+Layout (the scale design):
+  * postings are DOCUMENT-SHARDED into `n_buckets` by the top bits of
+    the (bias-mapped) doc_id — xxhash64 ids are uniform, so buckets are
+    balanced by construction, and every bucket holds the COMPLETE
+    postings of its documents for ALL terms. Query-time scoring is then
+    embarrassingly parallel per bucket (mapInPandas over co-partitioned
+    posting blocks feeding a distributed top-k reduce) — no query-time
+    shuffle of the index at any scale.
+  * within a bucket, postings of one term are sorted by doc_id and cut
+    into blocks of 128: delta+varint doc ids, varint tf/dl, per-block
+    exact max BM25 contribution (block-max, Ding & Suel SIGIR'11) and
+    [first_doc, last_doc] fences for skip-reads.
+  * head-term skew: a term's postings WITHIN a bucket are bounded by the
+    bucket's doc count, and the (bucket, term) encode groups are split
+    by doc-sharding — the classic Zipf hot-term problem lands on
+    `n_buckets` independent groups instead of one. AQE handles residual
+    imbalance.
+  * files: parquet partitioned by bucket (partition pruning), rows
+    sorted by term (row-group min/max stats prune term lookups).
+
+Resumability (north rule): the build loops over bucket GROUPS; each
+group is one atomic parquet write plus a ledger row (FIXTURES.md §3
+schema) with docs/postings/bytes/secs metrics. Re-running skips groups
+whose ledger row is `done` — the Spark analogue of the reference's
+batched-offsets evaluation and its batched==unbatched equivalence test
+(/root/reference/fornax/select.py:91-96, test/test_select.py:211-258).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import bm25, codec
+from .build import InvertedIndex
+
+SEG_SCHEMA = (
+    "bucket int, term string, block_id int, n int, df long, "
+    "first_doc long, last_doc long, block_max double, "
+    "doc_blob binary, tf_blob binary, dl_blob binary"
+)
+
+_SIGN_BIT = -(1 << 63)  # XOR with this == order-preserving bias to uint64
+
+
+def bucket_col(doc_id_col, n_buckets: int):
+    """Doc-shard bucket = top log2(n_buckets) bits of biased doc id."""
+    shift = 64 - int(math.log2(n_buckets))
+    return F.shiftrightunsigned(
+        doc_id_col.bitwiseXOR(F.lit(_SIGN_BIT)), shift
+    ).cast("int")
+
+
+def bucket_of_doc(doc_id: int, n_buckets: int) -> int:
+    shift = 64 - int(math.log2(n_buckets))
+    return ((doc_id ^ (1 << 63)) & ((1 << 64) - 1)) >> shift
+
+
+def _encoder(n_docs: int, avgdl: float, block_size: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        term = pdf["term"].iloc[0]
+        df_t = int(pdf["df"].iloc[0])
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["dl"].to_numpy(np.int64)
+        scores = bm25.term_score(tf, dl, np.full(len(tf), df_t), n_docs, avgdl)
+        rows = []
+        for b0 in range(0, len(docs), block_size):
+            sl = slice(b0, b0 + block_size)
+            d = docs[sl]
+            rows.append(
+                {
+                    "bucket": bucket,
+                    "term": term,
+                    "block_id": b0 // block_size,
+                    "n": len(d),
+                    "df": df_t,
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "block_max": float(scores[sl].max()),
+                    "doc_blob": codec.delta_encode_docids(d),
+                    "tf_blob": codec.encode_counts(tf[sl]),
+                    "dl_blob": codec.encode_counts(dl[sl]),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return encode_group
+
+
+@dataclass
+class SegmentStore:
+    path: str
+    n_docs: int
+    avgdl: float
+    n_buckets: int
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "segments")
+
+    def blocks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(SEG_SCHEMA).parquet(self.data_path)
+
+
+def _ledger_path(path: str) -> str:
+    return os.path.join(path, "ledger.json")
+
+
+def _load_ledger(path: str) -> dict:
+    lp = _ledger_path(path)
+    if os.path.exists(lp):
+        with open(lp) as f:
+            return json.load(f)
+    return {"groups": {}, "stats": None}
+
+
+def _save_ledger(path: str, ledger: dict) -> None:
+    lp = _ledger_path(path)
+    tmp = lp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+    os.replace(tmp, lp)  # atomic done-marker
+
+
+def build_segments(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    path: str,
+    n_buckets: int = 32,
+    block_size: int = codec.BLOCK_SIZE,
+    group_size: int = 8,
+    fail_after_groups: int | None = None,
+    code_version: str = "fornax_spark-0.1",
+) -> SegmentStore:
+    """Encode the index into a segment store, resumable per bucket group.
+
+    fail_after_groups: test hook — raise after N groups to exercise the
+    resume path (metamorphic: resumed build == clean build).
+    """
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    os.makedirs(path, exist_ok=True)
+    ledger = _load_ledger(path)
+    ledger["stats"] = {"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl,
+                       "n_buckets": n_buckets, "block_size": block_size}
+
+    p = (
+        idx.postings.join(idx.term_stats, "term")
+        .withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
+    )
+    encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size)
+
+    groups = [
+        list(range(g, min(g + group_size, n_buckets)))
+        for g in range(0, n_buckets, group_size)
+    ]
+    done_groups = 0
+    for gi, buckets in enumerate(groups):
+        key = f"g{gi:04d}"
+        if ledger["groups"].get(key, {}).get("status") == "done":
+            continue
+        if fail_after_groups is not None and done_groups >= fail_after_groups:
+            _save_ledger(path, ledger)
+            raise RuntimeError(f"injected failure before group {key}")
+        t0 = time.time()
+        part = p.filter(F.col("bucket").isin(buckets))
+        enc = part.groupBy("bucket", "term").applyInPandas(encode, SEG_SCHEMA)
+        out_dir = os.path.join(path, "segments")
+        # idempotent per-group write: overwrite only this group's bucket dirs
+        for b in buckets:
+            d = os.path.join(out_dir, f"bucket={b}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        (
+            enc.repartition(len(buckets), "bucket")
+            .sortWithinPartitions("term", "block_id")
+            .write.partitionBy("bucket")
+            .mode("append")
+            .parquet(out_dir)
+        )
+        m = part.agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count(F.lit(1)).alias("postings"),
+        ).collect()[0]
+        secs = time.time() - t0
+        ledger["groups"][key] = {
+            "status": "done",
+            "buckets": buckets,
+            "docs": int(m["docs"]),
+            "postings": int(m["postings"]),
+            "bytes_raw": int(m["postings"]) * 24,  # 3x int64 per posting
+            "build_secs": secs,
+            "lineage": {
+                "code_version": code_version,
+                "n_buckets": n_buckets,
+                "block_size": block_size,
+            },
+        }
+        _save_ledger(path, ledger)
+        done_groups += 1
+
+    # compressed-bytes metric from the written files
+    total_bytes = 0
+    for root, _dirs, files in os.walk(os.path.join(path, "segments")):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    ledger["bytes_compressed_total"] = total_bytes
+    _save_ledger(path, ledger)
+    return SegmentStore(
+        path=path,
+        n_docs=idx.stats.n_docs,
+        avgdl=idx.stats.avgdl,
+        n_buckets=n_buckets,
+    )
+
+
+def open_segments(path: str) -> SegmentStore:
+    ledger = _load_ledger(path)
+    s = ledger["stats"]
+    return SegmentStore(
+        path=path,
+        n_docs=s["n_docs"],
+        avgdl=s["avgdl"],
+        n_buckets=s["n_buckets"],
+    )

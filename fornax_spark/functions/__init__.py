@@ -1,0 +1,44 @@
+"""Scalar function kernels shared across operators.
+
+- stable_hash64: deterministic 64-bit hash (blake2b) for shingles /
+  tokens — C-speed, reproducible across processes (unlike Python's
+  builtin hash()), used inside Arrow-vectorized UDFs and by pytest
+  oracles alike. Mirrors the reference's stable-id contract
+  (/root/reference/fornax/api.py:31-47).
+- nema kernels: the reference's proximity / delta-plus functions
+  (/root/reference/fornax/opt.py:6-47) as pure Spark column
+  expressions — documenting the V1/V2 operator mapping of SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MASK63 = (1 << 63) - 1
+
+
+def stable_hash64(s: str | bytes, seed: int = 0) -> int:
+    """Deterministic signed-ish 64-bit hash (non-negative, 63 bits)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    d = blake2b(s, digest_size=8, salt=seed.to_bytes(8, "little")).digest()
+    return int.from_bytes(d, "little") & _MASK63
+
+
+def proximity(dist: Column, h: int, alpha: float) -> Column:
+    """NeMa eq.1 proximity kernel (reference fornax/opt.py:6-30):
+    P(d) = alpha^d if d <= h else 0, as a codegen'd column expression."""
+    if h < 0:
+        raise ValueError("h must be >= 0")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    return F.when(dist <= h, F.pow(F.lit(alpha), dist)).otherwise(F.lit(0.0))
+
+
+def delta_plus(x: Column, y: Column) -> Column:
+    """NeMa eq.3 positive-difference (reference fornax/opt.py:33-47):
+    max(x - y, 0)."""
+    return F.greatest(x - y, F.lit(0.0))

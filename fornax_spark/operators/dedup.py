@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design:
+  * exact: hash-groupBy on the text (map-side combine; at 100TB hash the
+    text first so the shuffle carries 8-byte keys, not documents).
+  * n-gram Jaccard: shingle explode + self equi-join on shingle —
+    shuffle is on shingle hash (near-unique key, skew-safe), pair
+    aggregation is a hash agg.
+  * MinHash+LSH: Arrow-vectorized signatures (numpy), banding ->
+    bucket-join so candidate generation never does O(n^2) work.
+  * SimHash: vectorized bit-vote kernel -> 64-bit signature.
+  * embedding near-dup: brute pairwise at test scale, LSH-bucketed
+    variant in similarity.py for the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import stable_hash64
+from .textstats import tokens_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: (keep_id = min id, n_dups).
+
+    At scale: group on xxhash64(text) (8-byte shuffle key) and resolve
+    rare collisions with a second exact pass; here the text itself is
+    grouped so the DuckDB oracle is trivial.
+    """
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc per distinct text (the min id)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + Jaccard pairs (fully JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def ngrams_col(text_col: str = "text", n: int = 3):
+    """Array of word n-gram shingle strings, codegen only."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    # sequence(1, x) runs DESCENDING when x < 1 — guard short docs
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for all pairs with shingle-set Jaccard >=
+    threshold, id_a < id_b.
+
+    Plan: explode distinct shingles -> self-join on shingle (skew-safe:
+    shingle keys are near-unique under Zipf at n>=3) -> pair-count agg ->
+    |A|+|B|-inter for the union. No pairwise cartesian anywhere.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jac_raw",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        # filter on the UNROUNDED value (exact rational of ints — identical
+        # in any engine), round only for presentation/comparison
+        .filter(F.col("jac_raw") >= threshold)
+        .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 31-bit Mersenne prime: keeps (a*h + b) < 2^62 so the int64 math never
+# wraps (a, b, h all < 2^31). Plenty of hash space for MinHash estimates.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingles: list[str], num_perm: int, seed: int = 42) -> np.ndarray:
+    """Pure-Python/numpy MinHash over shingle strings — shared by the
+    Spark UDF below and the pytest oracle (one code path, like
+    textproc)."""
+    a, b = _perm_params(num_perm, seed)
+    if not shingles:
+        return np.full(num_perm, _MERSENNE31, dtype=np.int64)
+    base = np.fromiter(
+        (stable_hash64(s) & _MERSENNE31 for s in set(shingles)), dtype=np.int64
+    )
+    # vectorized (a*h + b) mod p over the perm axis; all values < 2^62
+    vals = (base[None, :] * a[:, None] + b[:, None]) % _MERSENNE31
+    return vals.min(axis=1).astype(np.int64)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>) via Arrow-vectorized pandas UDF."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(shingles: pd.Series) -> pd.Series:
+        return shingles.map(
+            lambda sh: minhash_signature(list(sh), num_perm, seed).tolist()
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        sig_udf(F.array_distinct(ngrams_col(text_col, n))).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Band the signatures and bucket-join: (id_a, id_b) candidates.
+
+    Band key = (band_idx, hash of the band slice) — the join is an
+    equi-join on the band key, never a cartesian. Scale note: bucket
+    sizes are bounded by collision probability; a hot bucket (mass dup
+    cluster) is handled by AQE skew split.
+    """
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.slice(F.col("sig"), bi * F.lit(rows) + F.lit(1), F.lit(rows)),
+                    bi,
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard (JVM set ops):
+    (id_a, id_b, jaccard >= threshold)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, n, seed)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(ngrams_col(text_col, n)).alias("shset"),
+    )
+    out = (
+        cands.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+        .withColumn(
+            "jac_raw",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jac_raw") >= threshold)
+        .select("id_a", "id_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over tokens (tf-weighted bit votes). Shared kernel
+    (UDF + pytest oracle)."""
+    if not tokens:
+        return 0
+    from collections import Counter
+
+    votes = np.zeros(64, dtype=np.int64)
+    for tok, tf in Counter(tokens).items():
+        h = stable_hash64(tok, seed=7)
+        bits = np.unpackbits(
+            np.frombuffer(int(h).to_bytes(8, "little"), dtype=np.uint8),
+            bitorder="little",
+        ).astype(np.int64)
+        votes += tf * (2 * bits - 1)
+    out = 0
+    for i in range(64):
+        if votes[i] > 0:
+            out |= 1 << i
+    # fold to signed int64
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def sim_udf(toks: pd.Series) -> pd.Series:
+        return toks.map(lambda ts: simhash64(list(ts)))
+
+    return df.select(F.col(id_col).alias("id"), sim_udf(tokens_col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
+    hamming<=3 agrees on >=1 chunk) -> equi-join per chunk, verify
+    exact distance with bit_count (JVM)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,62 @@
+"""Codec round-trip tests (kernel level, incl. property-based)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fornax_spark.fulltext.codec import (
+    decode_counts,
+    delta_decode_docids,
+    delta_encode_docids,
+    encode_counts,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_known_values():
+    vals = np.array([0, 1, 127, 128, 300, 2**32, 2**63, 2**64 - 1], dtype=np.uint64)
+    buf = varint_encode(vals)
+    # 0->1B, 1->1B, 127->1B, 128->2B, 300->2B, 2^32->5B, 2^63->10B, max->10B
+    assert len(buf) == 1 + 1 + 1 + 2 + 2 + 5 + 10 + 10
+    assert buf[:3] == bytes([0x00, 0x01, 0x7F])
+    assert buf[3:5] == bytes([0x80, 0x01])  # 128
+    out = varint_decode(buf, len(vals))
+    assert (out == vals).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_varint_roundtrip(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals), len(vals)) == vals).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    )
+)
+def test_docid_delta_roundtrip(xs):
+    ids = np.array(sorted(xs), dtype=np.int64)
+    assert (delta_decode_docids(delta_encode_docids(ids), len(ids)) == ids).all()
+
+
+def test_counts_roundtrip():
+    tf = np.array([1, 2, 3, 1000, 1], dtype=np.int64)
+    assert (decode_counts(encode_counts(tf), 5) == tf).all()
+
+
+def test_compression_ratio_on_dense_lists():
+    # dense ascending ids (xxhash64-uniform spacing) compress well
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.integers(-(2**62), 2**62, 10_000, dtype=np.int64))
+    raw = ids.nbytes
+    enc = len(delta_encode_docids(ids))
+    assert enc < raw  # 10k uniform over 2^63: deltas ~2^49 -> ~8B vs 8B... allow <=
