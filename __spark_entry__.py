@@ -67,10 +67,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ft_index(spark: SparkSession, sf_dir: str):
-    from fornax_spark.fulltext.build import build_index_from_table
+_FT_INDEX_CACHE: dict[str, object] = {}
 
-    return build_index_from_table(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+def _ft_index(spark: SparkSession, sf_dir: str):
+    # one index build per corpus per process: the ft_* entries all share
+    # the same persisted postings (the driver calls each entry separately)
+    if sf_dir not in _FT_INDEX_CACHE:
+        from fornax_spark.fulltext.build import build_index_from_table
+
+        _FT_INDEX_CACHE[sf_dir] = build_index_from_table(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+    return _FT_INDEX_CACHE[sf_dir]
 
 
 def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +104,7 @@ def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fornax_spark.fulltext.build import docs_from_table
 
     return docs_from_table(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
-        "doc_id", "dl"
+        "doc_id", F.col("dl").cast("int").alias("dl")
     )
 
 
@@ -257,6 +266,39 @@ def q_docs_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti-join (NOT EXISTS) — reference's existence checks inverted
+    # (/root/reference/fornax/api.py:575-588)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot: per-user counts of each event type as columns
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set intersection: nations that have customers AND suppliers
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(sup)
+
+
 def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F1 parity: stable content-hash ids (reference api.py:31-47 uses
     # sha256(str(x)); we keep sha256 hex, verifiable in ANSI SQL)
@@ -328,7 +370,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fornax_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "events_rollup": q_events_rollup,
         "docs_lang_rollup": q_docs_lang_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "events_pivot": q_events_pivot,
+        "nations_with_both": q_nations_with_both,
         "stable_ids": q_stable_ids,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -562,6 +607,27 @@ def oracle_sql() -> dict[str, str]:
     sqls["docs_lang_rollup"] = """
         SELECT lang, source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
         FROM documents GROUP BY ROLLUP (lang, source)
+    """
+
+    sqls["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    sqls["events_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (event_type = 'view')::BIGINT AS view,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (event_type = 'error')::BIGINT AS error
+        FROM events GROUP BY 1
+    """
+
+    sqls["nations_with_both"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
     """
 
     sqls["stable_ids"] = """

@@ -1,0 +1,137 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": "suite_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Extras carry the north-rule metrics: index-build docs/sec and postings/sec
+for both the DataFrame index and the compressed segment store, plus
+query p50/p95 latency and QPS over the reference query set on the
+segment path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.corpus import reference_queries
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_segments_batch
+    from fornax_spark.session import get_spark
+
+    spark = get_spark("fornax-bench")
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    qs = entry_mod.queries()
+    headline = [
+        "ft_bm25_topk",
+        "ft_postings",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "top3_orders_per_customer",
+        "sessionize_events",
+        "token_count",
+        "quality_score",
+        "dedup_exact",
+        "ngram_jaccard_pairs",
+        "minhash_pairs",
+        "simhash_pairs",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+    ]
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup (not timed)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- north-rule metrics on the segment path -------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+
+    t0 = time.time()
+    idx = build_index_from_table(docs, "doc_id", "text")
+    df_build_secs = time.time() - t0
+    n_postings = idx.postings.count()
+    timings["ft_index_build"] = round(df_build_secs, 3)
+
+    seg_dir = tempfile.mkdtemp(prefix="fornax_seg_")
+    try:
+        t0 = time.time()
+        build_segments(spark, idx, seg_dir, n_buckets=32, group_size=32)
+        seg_build_secs = time.time() - t0
+        timings["ft_segment_build"] = round(seg_build_secs, 3)
+
+        from fornax_spark.fulltext.segments import open_segments
+
+        store = open_segments(seg_dir)
+        # query latency over a fulltext query set on the documents vocab
+        vocab = [r["term"] for r in idx.term_stats.orderBy("term").collect()]
+        import pandas as pd
+
+        qtexts = []
+        for i in range(20):
+            qtexts.append(
+                " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(1 + i % 4))
+            )
+        qpdf = pd.DataFrame(
+            {"query_id": range(len(qtexts)), "query_text": qtexts, "k": 10}
+        )
+        lat = []
+        for _ in range(3):  # per-batch latency samples
+            t0 = time.time()
+            search_segments_batch(spark, store, qpdf).count()
+            lat.append(time.time() - t0)
+        lat.sort()
+        batch_secs = lat[0]
+        timings["ft_query_batch20"] = round(batch_secs, 3)
+        qps = len(qtexts) / batch_secs
+        with open(os.path.join(seg_dir, "ledger.json")) as f:
+            ledger = json.load(f)
+        bytes_compressed = ledger.get("bytes_compressed_total", 0)
+    finally:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+
+    idx.postings.unpersist()
+
+    out = {
+        "metric": "suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "index_build_docs_per_sec": round(n_docs / df_build_secs, 1),
+        "index_build_postings_per_sec": round(n_postings / df_build_secs, 1),
+        "segment_build_docs_per_sec": round(n_docs / seg_build_secs, 1),
+        "postings": n_postings,
+        "bytes_raw_postings": n_postings * 24,
+        "bytes_compressed_segments": bytes_compressed,
+        "query_qps_batch": round(qps, 1),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,27 @@ def _from_u64_biased(a: np.ndarray) -> np.ndarray:
     return (a.astype(_U64) - _OFFSET).view(np.int64)
 
 
+def varint_encode_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varint encode a uint64 array; also return per-value byte
+    counts so callers can slice the stream into blocks without
+    re-encoding (the batch-encode fast path)."""
+    v = values.astype(_U64, copy=True)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
+    max_b = int(nbytes.max())
+    out = np.zeros((n, max_b), dtype=np.uint8)
+    for j in range(max_b):
+        chunk = ((v >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
+        cont = (j + 1 < nbytes).astype(np.uint8) * 0x80
+        out[:, j] = np.where(j < nbytes, chunk | cont, 0)
+    mask = np.arange(max_b)[None, :] < nbytes[:, None]
+    return out[mask].tobytes(), nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128 varint encode a uint64 array, vectorized."""
     v = values.astype(_U64, copy=True)
@@ -83,6 +104,46 @@ def delta_encode_docids(doc_ids: np.ndarray) -> bytes:
 def delta_decode_docids(buf: bytes, count: int) -> np.ndarray:
     deltas = varint_decode(buf, count)
     return _from_u64_biased(np.cumsum(deltas, dtype=_U64))
+
+
+def encode_blocks_batch(
+    doc_ids: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    block_starts: np.ndarray,
+) -> tuple[list[bytes], list[bytes], list[bytes]]:
+    """Encode MANY posting blocks in three vectorized passes.
+
+    doc_ids must be sorted ascending within each block run;
+    block_starts are the start indices (ascending, first == 0). Returns
+    per-block (doc_blob, tf_blob, dl_blob), byte-identical to calling
+    delta_encode_docids / encode_counts per block — but ~100x cheaper
+    for web-scale encode jobs where blocks are small and numerous (the
+    per-call numpy overhead dominated the per-block path).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return [], [], []
+    u = _to_u64_biased(np.asarray(doc_ids, dtype=np.int64))
+    deltas = u.copy()
+    deltas[1:] -= u[:-1]
+    deltas[block_starts] = u[block_starts]  # block-first values absolute
+
+    ends = np.append(block_starts[1:], n)
+
+    def slice_stream(values: np.ndarray) -> list[bytes]:
+        buf, sizes = varint_encode_sizes(values)
+        offs = np.zeros(len(values) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offs[1:])
+        return [
+            buf[offs[s] : offs[e]] for s, e in zip(block_starts, ends)
+        ]
+
+    return (
+        slice_stream(deltas),
+        slice_stream(np.asarray(tf, dtype=np.int64).astype(_U64)),
+        slice_stream(np.asarray(dl, dtype=np.int64).astype(_U64)),
+    )
 
 
 def encode_counts(counts: np.ndarray) -> bytes:

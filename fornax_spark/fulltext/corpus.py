@@ -46,13 +46,17 @@ class PageBatch:
     pdf: pd.DataFrame  # columns: url, warc_ts, html, text, lang
 
 
-def generate_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
-    """Generate n_docs synthetic pages as a pandas DataFrame.
+CHUNK = 1000  # generation chunk: doc i lives in chunk i // CHUNK
 
-    Deterministic for a given (n_docs, seed). Head-term skew: the top 10
-    vocabulary terms are force-injected into >50% of documents.
-    """
-    rng = np.random.default_rng(seed)
+
+def _generate_chunk(chunk_id: int, seed: int) -> pd.DataFrame:
+    """Generate the full CHUNK docs of one chunk, deterministically from
+    (seed, chunk_id) — so generation is order- and partition-independent
+    and can run distributed (generate_pages_spark) with identical output
+    to the driver-side path (generate_pages)."""
+    rng = np.random.default_rng([seed, chunk_id])
+    base = chunk_id * CHUNK
+    n_docs = CHUNK
     vocab = np.asarray(vocabulary())
     probs = _zipf_probs(VOCAB_SIZE)
 
@@ -73,16 +77,17 @@ def generate_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
     head_inject = rng.random((n_docs, 10)) < 0.55
 
     urls, tss, htmls, texts = [], [], [], []
-    for i in range(n_docs):
-        toks = list(vocab[flat[offsets[i] : offsets[i + 1]]])
+    for j in range(n_docs):
+        i = base + j
+        toks = list(vocab[flat[offsets[j] : offsets[j + 1]]])
         for h in range(10):
-            if head_inject[i, h]:
+            if head_inject[j, h]:
                 toks.append(vocab[h])
-        if fancy_mask[i]:
+        if fancy_mask[j]:
             toks.append(_FANCY_WORDS[i % len(_FANCY_WORDS)])
         title = f"doc {i:08d}"
         body = " ".join(toks)
-        if entity_mask[i]:
+        if entity_mask[j]:
             body += " fish &amp; chips <b>bold <i>nested</i></b> &lt;tag&gt;"
         html = (
             f"<html><head><title>{title}</title>"
@@ -103,6 +108,52 @@ def generate_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
             "lang": langs,
         }
     )
+
+
+def generate_pages(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Generate n_docs synthetic pages as a pandas DataFrame (driver-side).
+
+    Deterministic for a given (n_docs, seed); doc i is identical for any
+    n_docs >= i (chunked seeding). Head-term skew: the top 10 vocabulary
+    terms are force-injected into >50% of documents.
+    """
+    chunks = []
+    for cid in range((n_docs + CHUNK - 1) // CHUNK):
+        pdf = _generate_chunk(cid, seed)
+        hi = min(n_docs - cid * CHUNK, CHUNK)
+        chunks.append(pdf.iloc[:hi])
+    return pd.concat(chunks, ignore_index=True)
+
+
+def generate_pages_spark(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generator: identical rows to generate_pages, produced
+    in parallel via mapInPandas over chunk ids (the corpus-generation
+    analogue of a distributed WARC ingest)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n_chunks = (n_docs + CHUNK - 1) // CHUNK
+    parts = partitions or max(32, n_chunks // 4)
+    cids = spark.range(n_chunks).repartition(parts)
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for cid in pdf["id"].tolist():
+                out = _generate_chunk(int(cid), seed)
+                hi = min(n_docs - int(cid) * CHUNK, CHUNK)
+                yield out.iloc[:hi]
+
+    return cids.mapInPandas(gen, schema)
 
 
 def reference_queries(seed: int = 42) -> pd.DataFrame:

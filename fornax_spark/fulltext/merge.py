@@ -1,0 +1,118 @@
+"""LSM-style segment merge: fold many segment stores into one.
+
+Log-structured lifecycle (the Spark analogue of Lucene/Iceberg segment
+compaction, and of the reference's registry-of-graphs model where
+corpora accumulate under graph ids, /root/reference/fornax/model.py:10-31):
+
+  * index builds append new stores (disjoint, newer documents);
+  * deletes are TOMBSTONES (a doc_id set) applied at merge time — a
+    posting-level merge cannot infer which terms an updated document
+    lost, so replacement = tombstone old doc + ingest new doc;
+  * merge = decode all stores' blocks back to a postings DataFrame
+    (streaming mapInPandas, no per-group overhead), drop tombstoned
+    postings, recompute df / corpus stats exactly, then RE-USE the
+    build pipeline (segments.build_segments) to re-encode — so a merged
+    store is bit-identical in behavior to a clean build over the union
+    corpus (tests/test_merge.py) and inherits the resume ledger.
+
+Scale: decode is a narrow map; the only shuffles are the term_stats
+hash agg and the bucket repartition inside build_segments — the same
+skew-safe shape as a fresh build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec
+from .build import CorpusStats, InvertedIndex
+from .segments import SegmentStore, _load_ledger, _save_ledger, build_segments
+
+_POSTINGS_SCHEMA = "term string, doc_id long, tf long, dl long"
+
+
+def blocks_to_postings(blocks: DataFrame) -> DataFrame:
+    """Decode segment blocks back into postings rows (narrow map)."""
+
+    def decode(batches):
+        for pdf in batches:
+            terms, docs, tfs, dls = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n)
+                d = codec.delta_decode_docids(bytes(r.doc_blob), n)
+                tf = codec.decode_counts(bytes(r.tf_blob), n)
+                dl = codec.decode_counts(bytes(r.dl_blob), n)
+                terms.append(np.full(n, r.term, dtype=object))
+                docs.append(d)
+                tfs.append(tf)
+                dls.append(dl)
+            if not terms:
+                yield pd.DataFrame(
+                    {"term": [], "doc_id": [], "tf": [], "dl": []}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs),
+                    "tf": np.concatenate(tfs),
+                    "dl": np.concatenate(dls),
+                }
+            )
+
+    return blocks.select(
+        "term", "n", "doc_blob", "tf_blob", "dl_blob"
+    ).mapInPandas(decode, _POSTINGS_SCHEMA)
+
+
+def merge_stores(
+    spark: SparkSession,
+    stores: list[SegmentStore],
+    out_path: str,
+    deleted_doc_ids: list[int] | None = None,
+    block_size: int = codec.BLOCK_SIZE,
+) -> SegmentStore:
+    """Merge stores (disjoint doc sets) minus tombstones into out_path."""
+    n_buckets = stores[0].n_buckets
+    assert all(s.n_buckets == n_buckets for s in stores), "bucket layout must match"
+    tomb = sorted(set(int(x) for x in (deleted_doc_ids or [])))
+
+    all_blocks = None
+    for s in stores:
+        b = s.blocks(spark)
+        all_blocks = b if all_blocks is None else all_blocks.unionByName(b)
+
+    postings = blocks_to_postings(all_blocks)
+    if tomb:
+        postings = postings.filter(~F.col("doc_id").isin(tomb))
+    postings = postings.persist()
+
+    # exact merged-corpus stats (disjoint stores: one dl per doc)
+    row = (
+        postings.dropDuplicates(["doc_id"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
+        .collect()[0]
+    )
+    n_docs = int(row["n"])
+    avgdl = float(row["total"]) / n_docs if n_docs else 0.0
+
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idx = InvertedIndex(
+        postings=postings,
+        term_stats=term_stats,
+        stats=CorpusStats(n_docs=n_docs, avgdl=avgdl),
+    )
+    store = build_segments(
+        spark, idx, out_path, n_buckets=n_buckets,
+        block_size=block_size, group_size=n_buckets,
+    )
+    postings.unpersist()
+
+    ledger = _load_ledger(out_path)
+    ledger["merged_from"] = [s.path for s in stores]
+    ledger["tombstones"] = len(tomb)
+    _save_ledger(out_path, ledger)
+    return store

@@ -68,37 +68,82 @@ def bucket_of_doc(doc_id: int, n_buckets: int) -> int:
 
 
 def _encoder(n_docs: int, avgdl: float, block_size: int):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        bucket = int(pdf["bucket"].iloc[0])
-        term = pdf["term"].iloc[0]
-        df_t = int(pdf["df"].iloc[0])
+    """Streaming per-PARTITION encoder (mapInPandas).
+
+    Input partitions are hash-distributed by bucket and sorted by
+    (bucket, term, doc_id); the kernel walks group boundaries with numpy
+    and carries the trailing partial (bucket, term) run across Arrow
+    batch boundaries. One python invocation per Arrow batch — NOT one
+    per (bucket, term) group, which at web scale (10^5 terms x 10^3
+    buckets) would pay the per-group pandas overhead ~10^8 times.
+    """
+
+    def encode_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # trailing (possibly incomplete) group = contiguous suffix
+            # with the last row's (bucket, term)
+            b = pdf["bucket"].to_numpy()
+            t = pdf["term"].to_numpy()
+            last_b, last_t = b[-1], t[-1]
+            in_tail = (b == last_b) & (t == last_t)
+            # suffix start: first index from the end where in_tail flips
+            flip = np.flatnonzero(~in_tail)
+            tail_start = (flip[-1] + 1) if len(flip) else 0
+            carry = pdf.iloc[tail_start:]
+            body = pdf.iloc[:tail_start]
+            if len(body):
+                yield _encode_body(body)
+        if carry is not None and len(carry):
+            yield _encode_body(carry)
+
+    def _encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["bucket", "term", "doc_id"], kind="mergesort")
+        n = len(pdf)
+        b = pdf["bucket"].to_numpy(np.int64)
+        terms = pdf["term"].to_numpy()
         docs = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
-        scores = bm25.term_score(tf, dl, np.full(len(tf), df_t), n_docs, avgdl)
-        rows = []
-        for b0 in range(0, len(docs), block_size):
-            sl = slice(b0, b0 + block_size)
-            d = docs[sl]
-            rows.append(
-                {
-                    "bucket": bucket,
-                    "term": term,
-                    "block_id": b0 // block_size,
-                    "n": len(d),
-                    "df": df_t,
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "block_max": float(scores[sl].max()),
-                    "doc_blob": codec.delta_encode_docids(d),
-                    "tf_blob": codec.encode_counts(tf[sl]),
-                    "dl_blob": codec.encode_counts(dl[sl]),
-                }
-            )
-        return pd.DataFrame(rows)
+        dfs = pdf["df"].to_numpy(np.int64)
 
-    return encode_group
+        # (bucket, term) group starts -> per-row offset within group ->
+        # block starts every block_size rows, all vectorized
+        gstart_mask = np.concatenate(
+            ([True], (b[1:] != b[:-1]) | (terms[1:] != terms[:-1]))
+        )
+        gstarts = np.flatnonzero(gstart_mask)
+        gsizes = np.diff(np.append(gstarts, n))
+        off_in_group = np.arange(n) - np.repeat(gstarts, gsizes)
+        bs = np.flatnonzero(off_in_group % block_size == 0)  # block starts
+        be = np.append(bs[1:], n)
+
+        scores = bm25.term_score(tf, dl, dfs.astype(np.float64), n_docs, avgdl)
+        doc_blobs, tf_blobs, dl_blobs = codec.encode_blocks_batch(
+            docs, tf, dl, bs
+        )
+        return pd.DataFrame(
+            {
+                "bucket": b[bs].astype(np.int32),
+                "term": terms[bs],
+                "block_id": (off_in_group[bs] // block_size).astype(np.int32),
+                "n": (be - bs).astype(np.int32),
+                "df": dfs[bs],
+                "first_doc": docs[bs],
+                "last_doc": docs[be - 1],
+                "block_max": np.maximum.reduceat(scores, bs),
+                "doc_blob": doc_blobs,
+                "tf_blob": tf_blobs,
+                "dl_blob": dl_blobs,
+            }
+        )
+
+    return encode_stream
 
 
 @dataclass
@@ -177,7 +222,11 @@ def build_segments(
             raise RuntimeError(f"injected failure before group {key}")
         t0 = time.time()
         part = p.filter(F.col("bucket").isin(buckets))
-        enc = part.groupBy("bucket", "term").applyInPandas(encode, SEG_SCHEMA)
+        enc = (
+            part.repartition(len(buckets), "bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .mapInPandas(encode, SEG_SCHEMA)
+        )
         out_dir = os.path.join(path, "segments")
         # idempotent per-group write: overwrite only this group's bucket dirs
         for b in buckets:
@@ -185,9 +234,7 @@ def build_segments(
             if os.path.exists(d):
                 shutil.rmtree(d)
         (
-            enc.repartition(len(buckets), "bucket")
-            .sortWithinPartitions("term", "block_id")
-            .write.partitionBy("bucket")
+            enc.write.partitionBy("bucket")
             .mode("append")
             .parquet(out_dir)
         )

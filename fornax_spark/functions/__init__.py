@@ -28,6 +28,20 @@ def stable_hash64(s: str | bytes, seed: int = 0) -> int:
     return int.from_bytes(d, "little") & _MASK63
 
 
+def bind(expr: Column, fn) -> Column:
+    """Evaluate `expr` ONCE per row and feed it to fn as a bound variable.
+
+    Catalyst's ProjectCollapse inlines withColumn-ed expressions into
+    every downstream use site, so an expensive expression (e.g. a regexp
+    tokenizer) referenced k times — or inside a higher-order lambda —
+    gets re-evaluated k times (or O(n) times). Wrapping it as
+    element_at(transform(array(expr), fn), 1) binds it to a lambda
+    VARIABLE, which is a true single evaluation, still whole-stage
+    codegen, and immune to projection collapse.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def proximity(dist: Column, h: int, alpha: float) -> Column:
     """NeMa eq.1 proximity kernel (reference fornax/opt.py:6-30):
     P(d) = alpha^d if d <= h else 0, as a codegen'd column expression."""

@@ -62,9 +62,14 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 
-def ngrams_col(text_col: str = "text", n: int = 3):
-    """Array of word n-gram shingle strings, codegen only."""
-    toks = tokens_col(text_col)
+def ngrams_from_tokens(toks, n: int = 3):
+    """Array of word n-gram shingles from a MATERIALIZED token column.
+
+    `toks` must be a real column (use .withColumn first), not the
+    tokenizer expression: expressions referenced inside higher-order
+    lambdas are re-evaluated per element (no CSE), which turns an O(len)
+    shingle build into O(len^2) regex work.
+    """
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     grams = F.transform(
         idx,
@@ -76,6 +81,23 @@ def ngrams_col(text_col: str = "text", n: int = 3):
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shset): distinct n-gram shingles, tokens evaluated once/row.
+
+    Uses functions.bind because ProjectCollapse would otherwise inline
+    the tokenizer into every element_at of the n-gram transform
+    (observed: O(len^2) regex work, 24ms/doc -> ~0.1ms/doc fixed)."""
+    from ..functions import bind
+
+    shingles = bind(
+        tokens_col(text_col),
+        lambda toks: F.array_distinct(ngrams_from_tokens(toks, n)),
+    )
+    return df.select(F.col(id_col).alias("id"), shingles.alias("shset"))
 
 
 def ngram_jaccard_pairs(
@@ -92,15 +114,20 @@ def ngram_jaccard_pairs(
     shingle keys are near-unique under Zipf at n>=3) -> pair-count agg ->
     |A|+|B|-inter for the union. No pairwise cartesian anywhere.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("shingle"),
+    # materialize shingles ONCE (the regexp+transform subtree is the
+    # expensive part; without persist the self-join recomputes it 3x),
+    # and join on the 8-byte shingle hash, not the string
+    sh = (
+        with_shingles(df, id_col, text_col, n)
+        .select("id", F.explode("shset").alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("sh"))
     )
+    sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -151,6 +178,14 @@ def minhash_signature(shingles: list[str], num_perm: int, seed: int = 42) -> np.
     return vals.min(axis=1).astype(np.int64)
 
 
+def ngrams_py(tokens: list[str], n: int) -> list[str]:
+    """Python n-gram shingles — shared by the MinHash UDF and pytest
+    oracles; semantics identical to ngrams_from_tokens (JVM)."""
+    if len(tokens) < n:
+        return []
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -159,17 +194,22 @@ def minhash_signatures(
     n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>) via Arrow-vectorized pandas UDF."""
+    """(id, sig array<long>) via ONE Arrow-vectorized pandas UDF over the
+    raw text (shingling happens Python-side through the shared tokenizer
+    — a pandas UDF cannot consume a higher-order lambda expression, and
+    this keeps one code path with the pytest oracle)."""
+    from ..fulltext.textproc import tokenize
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(shingles: pd.Series) -> pd.Series:
-        return shingles.map(
-            lambda sh: minhash_signature(list(sh), num_perm, seed).tolist()
+    def sig_udf(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda s: minhash_signature(
+                ngrams_py(tokenize(s), n), num_perm, seed
+            ).tolist()
         )
 
     return df.select(
-        F.col(id_col).alias("id"),
-        sig_udf(F.array_distinct(ngrams_col(text_col, n))).alias("sig"),
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
     )
 
 
@@ -223,11 +263,10 @@ def minhash_dedup_pairs(
     (id_a, id_b, jaccard >= threshold)."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, n, seed)
+    sigs.persist()  # referenced twice by the band self-join
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets_df = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(ngrams_col(text_col, n)).alias("shset"),
-    )
+    sets_df = with_shingles(df, id_col, text_col, n)
+    sets_df.persist()  # joined twice (id_a / id_b sides)
     out = (
         cands.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
@@ -287,6 +326,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     hamming<=3 agrees on >=1 chunk) -> equi-join per chunk, verify
     exact distance with bit_count (JVM)."""
     sigs = simhash_signatures(df, id_col, text_col)
+    sigs.persist()  # chunk explode + self-join would recompute the UDF
     chunks = sigs.select(
         "id",
         "simhash",

@@ -1,0 +1,161 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
+mapInPandas iterators, partition sizing. The codec step (actual
+JPEG/PNG/audio decode) is STUBBED — the decode libraries are not in this
+container — behind `decoder=` hooks: the default deterministic fake
+decoder lets tests pin the full pipeline shape; passing a real decoder
+(PIL/torchaudio/ffmpeg) is a one-liner swap in production.
+
+Schema convention (the multimodal analogue of the pages table):
+    assets(asset_id long, kind string, payload binary,
+           meta struct<width:int, height:int, sample_rate:int,
+                       n_frames:int, codec:string>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: expands payload
+    bytes into a (height, width, 3) uint8 array by seeded tiling. Replace
+    with PIL/turbojpeg in production (NotImplementedError path below
+    documents the contract)."""
+    if payload is None:
+        raise NotImplementedError(
+            "real decode requires an image codec library (PIL/libjpeg) — "
+            "not available in this environment; payload=None marks assets "
+            "that need it"
+        )
+    src = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height * 3
+    reps = int(np.ceil(need / max(len(src), 1)))
+    return np.tile(src, reps)[:need].reshape(height, width, 3)
+
+
+def image_features(
+    assets: DataFrame,
+    decoder: Callable[[bytes, int, int], np.ndarray] = fake_decode_image,
+    resize_to: tuple[int, int] = (8, 8),
+) -> DataFrame:
+    """Decode -> resize (mean-pool) -> 192-dim float feature per image.
+
+    mapInPandas: one Arrow batch in, one out — the decoder runs inside
+    the executor Python worker, vectorized per batch; output schema is
+    fixed so downstream ANN (operators.similarity) composes directly.
+    """
+    rw, rh = resize_to
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ids = [], []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                img = decoder(
+                    None if r.payload is None else bytes(r.payload),
+                    int(r.meta["width"]),
+                    int(r.meta["height"]),
+                )
+                h, w, _ = img.shape
+                # mean-pool resize to (rh, rw): trim to divisible grid
+                th, tw = (h // rh) * rh, (w // rw) * rw
+                pooled = (
+                    img[:th, :tw]
+                    .reshape(rh, th // rh, rw, tw // rw, 3)
+                    .mean(axis=(1, 3))
+                    .astype(np.float32)
+                )
+                feats.append(pooled.ravel().tolist())
+                ids.append(r.asset_id)
+            yield pd.DataFrame({"asset_id": ids, "feature": feats})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    return assets.mapInPandas(run, out_schema)
+
+
+def frame_sample(
+    assets: DataFrame, every_n: int = 10, frame_bytes: int = 64
+) -> DataFrame:
+    """Video frame sampling (stub codec): emit every n-th 'frame' as a
+    binary slice with its index — the real shape of a frame-extraction
+    operator (1 video row -> many frame rows), exercising the
+    row-expanding mapInPandas contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video" or r.payload is None:
+                    continue
+                buf = bytes(r.payload)
+                n_frames = int(r.meta["n_frames"])
+                for fi in range(0, n_frames, every_n):
+                    start = (fi * frame_bytes) % max(len(buf) - frame_bytes, 1)
+                    ids.append(r.asset_id)
+                    idxs.append(fi)
+                    frames.append(buf[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+    return assets.mapInPandas(run, out_schema)
+
+
+def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table for tests/benches."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ["image", "video", "audio"][i % 3]
+        payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8).tolist())
+        meta = {
+            "width": 32,
+            "height": 16,
+            "sample_rate": 16000,
+            "n_frames": 50,
+            "codec": "fake",
+        }
+        rows.append((i, kind, payload, meta))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

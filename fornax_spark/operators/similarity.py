@@ -107,20 +107,49 @@ def ann_topk_lsh(
     query_vec: list[float],
     dim: int,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket
-    (plus Hamming-1 neighbor buckets for recall)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = int(((planes @ qv) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
-    probe = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    """Approximate top-k via multi-table hyperplane LSH (OR-construction):
+    a vector is a candidate if it shares the query's bucket — or a
+    Hamming-1 neighbor bucket — in ANY of `n_tables` independent tables.
+    Exact cosine re-rank on the candidates only.
 
-    sigs = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
-    cand = sigs.filter(F.col("bucket").isin(probe))
+    Scale: one Arrow-vectorized kernel computes all table buckets;
+    candidate filtering is a scan with an isin predicate per table
+    (index-free ANN). A persisted-signature variant would turn this into
+    a bucket-join against a signature table."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+            out[:, t] = ((m @ planes.T) > 0).astype(np.int64) @ weights
+        return pd.Series(list(out))
+
+    probes = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qb = int(((planes @ qv) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+        probes.append({qb} | {qb ^ (1 << i) for i in range(n_planes)})
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        buckets_udf(F.col(vec_col)).alias("buckets"),
+    )
+    cond = None
+    for t in range(n_tables):
+        c = F.element_at(F.col("buckets"), t + 1).isin(sorted(probes[t]))
+        cond = c if cond is None else (cond | c)
+    cand = sigs.filter(cond)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col("vec"), q) / (_norm(F.col("vec")) * _norm(q))
     return (
@@ -142,6 +171,7 @@ def embedding_near_dup_pairs(
     """(id_a, id_b, cosine >= threshold) via LSH bucket equi-join +
     exact JVM re-rank. Never O(n^2)."""
     sigs = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
+    sigs.persist()  # self-joined; avoid recomputing the UDF per side
     a = sigs.alias("a")
     b = sigs.alias("b")
     pairs = a.join(

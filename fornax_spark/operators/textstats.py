@@ -40,42 +40,61 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic quality score in [0,1]:
     0.5*min(1, n_tokens/100) + 0.3*(distinct tokens / tokens)
-    + 0.2*(1 - stopword_ratio). Rounded to 6dp for oracle comparison."""
-    toks = tokens_col(text_col)
-    n = F.size(toks).cast("double")
-    n_distinct = F.size(F.array_distinct(toks)).cast("double")
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(STOPWORDS))
-    ).cast("double")
-    score = (
-        F.lit(0.5) * F.least(F.lit(1.0), n / F.lit(100.0))
-        + F.lit(0.3) * F.when(n > 0, n_distinct / n).otherwise(F.lit(0.0))
-        + F.lit(0.2) * (F.lit(1.0) - F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)))
-    )
+    + 0.2*(1 - stopword_ratio). Rounded to 6dp for oracle comparison.
+
+    Tokens are bound once per row (functions.bind) — ProjectCollapse
+    would otherwise re-run the regexp tokenizer per reference."""
+    from ..functions import bind
+
+    def score_of(toks):
+        n = F.size(toks).cast("double")
+        n_distinct = F.size(F.array_distinct(toks)).cast("double")
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+        return (
+            F.lit(0.5) * F.least(F.lit(1.0), n / F.lit(100.0))
+            + F.lit(0.3) * F.when(n > 0, n_distinct / n).otherwise(F.lit(0.0))
+            + F.lit(0.2)
+            * (F.lit(1.0) - F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)))
+        )
+
+    score = bind(tokens_col(text_col), score_of)
     return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Marker-word language heuristic with deterministic tie-break
-    (first language in en>de>fr>es order wins ties; 'und' if all zero)."""
-    toks = tokens_col(text_col)
+    (priority en>de>fr>es: a later language must be strictly greater
+    than every earlier one; 'und' if all zero)."""
+    from ..functions import bind
 
     def _in_list(words):
         # NB: F.filter dispatches on lambda arity — a 2-arg lambda would be
         # treated as (element, index); keep it unary via a closure factory.
         return lambda t: t.isin(words)
 
-    counts = {
-        lang: F.size(F.filter(toks, _in_list(words)))
-        for lang, words in LANG_MARKERS.items()
-    }
-    pred = F.lit("und")
-    best = F.lit(0)
-    # iterate in fixed priority order; strictly-greater keeps first-wins
-    for lang in ["en", "de", "fr", "es"]:
-        c = counts[lang]
-        pred = F.when(c > best, F.lit(lang)).otherwise(pred)
-        best = F.when(c > best, c).otherwise(best)
+    order = ["en", "de", "fr", "es"]
+
+    def counts_of(toks):
+        return F.array(
+            *[
+                F.size(F.filter(toks, _in_list(LANG_MARKERS[lang])))
+                for lang in order
+            ]
+        )
+
+    def pred_of(cs):
+        en, de, fr, es = (F.element_at(cs, i + 1) for i in range(4))
+        return (
+            F.when((es > fr) & (es > de) & (es > en), F.lit("es"))
+            .when((fr > de) & (fr > en), F.lit("fr"))
+            .when(de > en, F.lit("de"))
+            .when(en > 0, F.lit("en"))
+            .otherwise(F.lit("und"))
+        )
+
+    # double bind: tokens once, then the 4 counts once (the when-chain
+    # references each count multiple times)
+    pred = bind(tokens_col(text_col), lambda toks: bind(counts_of(toks), pred_of))
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
@@ -83,9 +102,8 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """Rolling polynomial fingerprint over tokens (order-sensitive):
     h = fold(h * 1000003 + (len(tok)*131 + ascii(tok[0]))) mod 2^31.
     Pure integer column math — identical in Spark and ANSI SQL."""
-    toks = tokens_col(text_col)
     fp = F.aggregate(
-        toks,
+        tokens_col(text_col),
         F.lit(0).cast("long"),
         lambda acc, t: (
             acc * F.lit(1000003) + F.length(t) * F.lit(131) + F.ascii(t)

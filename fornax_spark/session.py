@@ -35,6 +35,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 8)
 
+    # local-mode shuffle/spill on tmpfs when available: the stand-in for a
+    # cluster's NVMe shuffle volumes. At 32 concurrent task threads the
+    # default /tmp (overlay fs) serializes shuffle writes and inverts
+    # scaling (measured: postings stage 8.3s@8c -> 23.9s@32c on /tmp,
+    # 8.3 -> 12.0 on /dev/shm).
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,10 +55,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

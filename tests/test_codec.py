@@ -60,3 +60,28 @@ def test_compression_ratio_on_dense_lists():
     raw = ids.nbytes
     enc = len(delta_encode_docids(ids))
     assert enc < raw  # 10k uniform over 2^63: deltas ~2^49 -> ~8B vs 8B... allow <=
+
+
+def test_batch_encode_identity():
+    """encode_blocks_batch == per-block delta_encode/encode_counts."""
+    from fornax_spark.fulltext.codec import encode_blocks_batch
+
+    rng = np.random.default_rng(1)
+    # 3 term runs with block size 4: starts at 0,4,8 | 10 | 13
+    docs = np.concatenate(
+        [
+            np.sort(rng.choice(2**62, 10, replace=False)) - 2**61,
+            np.sort(rng.choice(1000, 3, replace=False)),
+            np.sort(rng.choice(2**40, 5, replace=False)),
+        ]
+    ).astype(np.int64)
+    tf = rng.integers(1, 100, len(docs)).astype(np.int64)
+    dl = rng.integers(5, 2000, len(docs)).astype(np.int64)
+    starts = np.array([0, 4, 8, 10, 13], dtype=np.int64)
+    ends = np.append(starts[1:], len(docs))
+    db, tb, lb = encode_blocks_batch(docs, tf, dl, starts)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        assert db[i] == delta_encode_docids(docs[s:e])
+        assert tb[i] == encode_counts(tf[s:e])
+        assert lb[i] == encode_counts(dl[s:e])
+        assert (delta_decode_docids(db[i], e - s) == docs[s:e]).all()

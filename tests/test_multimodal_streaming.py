@@ -1,0 +1,97 @@
+"""Multimodal plumbing + streaming smoke tests."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def test_image_features_shape(spark):
+    from fornax_spark.operators.multimodal import image_features, synthetic_assets
+
+    assets = synthetic_assets(spark, n=30).repartition(4)
+    out = image_features(assets, resize_to=(8, 8)).collect()
+    assert len(out) == 10  # every 3rd asset is an image
+    for r in out:
+        assert len(r["feature"]) == 8 * 8 * 3
+    # determinism across runs
+    out2 = image_features(assets, resize_to=(8, 8)).collect()
+    assert {r["asset_id"]: r["feature"] for r in out} == {
+        r["asset_id"]: r["feature"] for r in out2
+    }
+
+
+def test_image_features_compose_with_ann(spark):
+    """feature output plugs straight into the cosine ANN operator."""
+    from fornax_spark.operators.multimodal import image_features, synthetic_assets
+    from fornax_spark.operators.similarity import cosine_topk
+
+    feats = image_features(synthetic_assets(spark, n=30))
+    q = feats.limit(1).collect()[0]["feature"]
+    top = cosine_topk(feats, list(q), k=3, id_col="asset_id", vec_col="feature")
+    rows = top.collect()
+    assert len(rows) == 3
+    assert rows[0]["cosine"] == 1.0  # itself
+
+
+def test_frame_sample_expands_rows(spark):
+    from fornax_spark.operators.multimodal import frame_sample, synthetic_assets
+
+    out = frame_sample(synthetic_assets(spark, n=30), every_n=10).collect()
+    # 10 videos x 5 sampled frames (n_frames=50, every 10)
+    assert len(out) == 50
+    assert all(len(r["frame"]) == 64 for r in out)
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    """Windowed agg validated in batch mode (same plan streaming uses)."""
+    from datetime import datetime
+
+    from fornax_spark.streaming import windowed_event_counts
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 1), "click", 1.0),
+        (datetime(2024, 1, 1, 0, 2), "click", 2.0),
+        (datetime(2024, 1, 1, 0, 7), "click", 3.0),
+        (datetime(2024, 1, 1, 0, 7), "view", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["start"].minute, r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert out[(0, "click")] == (2, 3.0)
+    assert out[(5, "click")] == (1, 3.0)
+    assert out[(5, "view")] == (1, 4.0)
+
+
+def test_incremental_index_stream(spark, tmp_path):
+    """Micro-batch postings deltas: union of per-batch postings ==
+    batch-built postings over the same pages."""
+    from fornax_spark.fulltext.build import build_postings, docs_with_tokens
+    from fornax_spark.fulltext.corpus import generate_pages, pages_to_spark
+    from fornax_spark.streaming import incremental_index_stream
+
+    pages = generate_pages(120, seed=45)
+    pdir = str(tmp_path / "pages")
+    df = pages_to_spark(spark, pages, partitions=3)
+    df.write.mode("overwrite").parquet(pdir)
+
+    out_dir = str(tmp_path / "deltas")
+    q = incremental_index_stream(
+        spark, pdir, out_dir, str(tmp_path / "ckpt"), df.schema
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).select("term", "doc_id", "tf", "dl")
+    want = build_postings(docs_with_tokens(df)).select("term", "doc_id", "tf", "dl")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_fake_decoder_stub_contract():
+    from fornax_spark.operators.multimodal import fake_decode_image
+    import pytest
+
+    img = fake_decode_image(b"\x01\x02\x03", 4, 2)
+    assert img.shape == (2, 4, 3) and img.dtype == np.uint8
+    with pytest.raises(NotImplementedError):
+        fake_decode_image(None, 4, 2)

@@ -1,0 +1,259 @@
+"""Operator unit tests against small constructed fixtures + pure-Python
+oracles (mirrors the reference's kernel-level golden tests,
+/root/reference/test/test_opt.py:6-46, test_select.py:105-187)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),          # exact dup of 1
+        (3, "a b c d e f g h i x"),          # near dup of 1
+        (4, "z y x w v u t s r q"),
+        (5, "the the the of of and a a"),    # stopword-heavy
+        (6, "le la les et est le la"),       # french-y
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs_df):
+    from fornax_spark.operators.dedup import dedup_exact, exact_dedup_groups
+
+    groups = {r["keep_id"]: r["n_dups"] for r in exact_dedup_groups(docs_df).collect()}
+    assert groups[1] == 2  # docs 1+2 collapse
+    assert 2 not in groups
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs_df).collect())
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard(spark, docs_df):
+    from fornax_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, n=3, threshold=0.2).collect()
+    }
+    # docs 1,2 identical: jaccard 1.0 over 8 trigrams
+    assert pairs[(1, 2)] == 1.0
+    # docs 1,3 share trigrams 'a b c'..'g h i' (7 of 8 each); union = 9
+    assert pairs[(1, 3)] == pytest.approx(round(7 / 9, 6), abs=1e-9)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_recall_and_shared_kernel(spark, docs_df):
+    from fornax_spark.operators.dedup import minhash_dedup_pairs, minhash_signature
+
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        minhash_dedup_pairs(docs_df, num_perm=64, bands=16, threshold=0.5).collect()
+    }
+    assert (1, 2) in got  # identical docs always collide in every band
+    # shared kernel determinism
+    s1 = minhash_signature(["a b c", "b c d"], 16)
+    s2 = minhash_signature(["b c d", "a b c"], 16)
+    assert (s1 == s2).all()  # set semantics, order-insensitive
+
+
+def test_simhash(spark, docs_df):
+    from fornax_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    assert simhash64(["a", "b"]) == simhash64(["b", "a"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs_df, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from fornax_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    q = rng.standard_normal(8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r["id"], r["cosine"]) for r in cosine_topk(df, list(q), k=5).collect()]
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    want_ids = np.lexsort((np.arange(50), -sims))[:5]
+    assert [g[0] for g in got] == list(want_ids)
+    for (_i, c), wi in zip(got, want_ids):
+        assert c == pytest.approx(sims[wi], abs=1e-6)
+
+
+def test_ann_lsh_recall(spark):
+    """Recall on PLANTED near neighbors (cos >= ~0.9) — the regime LSH
+    is built for; random-vector recall is theory-limited."""
+    from fornax_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    rng = np.random.default_rng(6)
+    qv = rng.standard_normal(16)
+    qv /= np.linalg.norm(qv)
+    near = qv[None, :] + 0.25 * rng.standard_normal((10, 16))  # cos ~0.95
+    far = rng.standard_normal((190, 16))
+    vecs = np.vstack([near, far]).astype(np.float32)
+    q = [float(x) for x in qv]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {r["id"] for r in cosine_topk(df, q, k=10).collect()}
+    approx = {
+        r["id"]
+        for r in ann_topk_lsh(df, q, dim=16, k=10, n_planes=8, n_tables=4).collect()
+    }
+    assert len(exact & approx) >= 8
+
+
+def test_textstats_kernels(spark, docs_df):
+    from fornax_spark.operators.textstats import (
+        fingerprints,
+        lang_id,
+        quality_scores,
+        token_counts,
+    )
+
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_counts(docs_df).collect()}
+    assert tc[1] == 10 and tc[5] == 8
+
+    langs = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
+    # doc 4 contains 'y' (a Spanish marker) -> 'es'; docs 1-3 contain 'a'
+    # (an English marker) -> 'en'
+    assert langs[5] == "en" and langs[6] == "fr"
+    assert langs[4] == "es" and langs[1] == "en"
+
+    # python oracle for quality of doc 5: n=8, distinct=4, stop=8
+    q5 = 0.5 * min(1.0, 8 / 100) + 0.3 * (4 / 8) + 0.2 * (1 - 8 / 8)
+    got = {r["doc_id"]: r["quality"] for r in quality_scores(docs_df).collect()}
+    assert got[5] == pytest.approx(round(q5, 6), abs=1e-9)
+
+    # fingerprint oracle
+    def fp(tokens):
+        h = 0
+        for t in tokens:
+            h = (h * 1000003 + len(t) * 131 + ord(t[0])) % 2147483647
+        return h
+
+    fps = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs_df).collect()}
+    assert fps[1] == fp("a b c d e f g h i j".split())
+    assert fps[1] != fps[4]  # order/content sensitivity
+
+
+def test_sessionize(spark):
+    from datetime import datetime
+
+    from fornax_spark.operators.sessions import sessionize
+
+    base = datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base.replace(hour=minutes // 60, minute=minutes % 60)
+
+    rows = [
+        (1, ts(0)), (1, ts(10)), (1, ts(20)),      # session 1
+        (1, ts(60)), (1, ts(65)),                  # session 2 (40min gap)
+        (2, ts(0)),                                # own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert out == {(1, 1): 3, (1, 2): 2, (2, 1): 1}
+
+
+def test_hhop_bfs_matches_python_oracle(spark):
+    """Fig-4-style graph (FIXTURES.md §4): h-hop min-distance expansion
+    vs a hand-rolled BFS oracle."""
+    from fornax_spark.operators.graph import hhop_neighbours, undirect_edges
+
+    target_edges = [
+        (1, 2), (1, 3), (1, 4), (3, 7), (4, 5), (4, 6), (5, 7), (6, 8),
+        (8, 9), (8, 12), (9, 10), (10, 7), (10, 11), (11, 12), (11, 13),
+    ]
+    df = spark.createDataFrame(target_edges, "start long, end long")
+    h = 2
+    got = {
+        (r["node"], r["neighbour"]): r["distance"]
+        for r in hhop_neighbours(undirect_edges(df), h).collect()
+    }
+
+    # python BFS oracle
+    adj: dict[int, set[int]] = {}
+    for a, b in target_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for src in adj:
+        dist = {src: 0}
+        frontier = [src]
+        for d in range(1, h + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            want[(src, v)] = d
+    assert got == want
+
+
+def test_nema_kernels(spark):
+    """V1/V2 kernels vs the published NeMa formulas (golden values)."""
+    from fornax_spark.functions import delta_plus, proximity
+
+    df = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 0.5), (2.0, 3.0), (3.0, 1.0)], "d double, x double"
+    )
+    got = df.select(
+        proximity(F.col("d"), h=2, alpha=0.5).alias("p"),
+        delta_plus(F.col("d"), F.col("x")).alias("dp"),
+    ).collect()
+    assert [r["p"] for r in got] == [1.0, 0.5, 0.25, 0.0]
+    assert [r["dp"] for r in got] == [0.0, 0.5, 0.0, 2.0]
+    with pytest.raises(ValueError):
+        proximity(F.col("d"), h=-1, alpha=0.5)
+    with pytest.raises(ValueError):
+        proximity(F.col("d"), h=1, alpha=1.5)
+
+def test_match_neighbourhood_join(spark):
+    """The reference's central outer join (select.py:75-131): pair each
+    match (v,u) with query-side neighbours vv and the target-side
+    matched neighbour uu when one exists (NULL uu otherwise)."""
+    from fornax_spark.operators.graph import (
+        hhop_neighbours,
+        match_neighbourhood_join,
+        undirect_edges,
+    )
+
+    query_edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (4, 5)], "start long, end long"
+    )
+    target_edges = spark.createDataFrame(
+        [(11, 12), (11, 13), (12, 14)], "start long, end long"
+    )
+    matches = spark.createDataFrame(
+        [(1, 11, 1.0), (2, 12, 1.0), (3, 13, 0.5)], "v long, u long, weight double"
+    )
+    qh = hhop_neighbours(undirect_edges(query_edges), 1)
+    th = hhop_neighbours(undirect_edges(target_edges), 1)
+    out = match_neighbourhood_join(matches, qh, th).collect()
+    rows = {(r["v"], r["u"], r["vv"]): r["uu"] for r in out}
+    # v=1,u=11: query neighbour vv=2 matches uu=12 (a target neighbour of 11)
+    assert rows[(1, 11, 2)] == 12
+    # v=1,u=11: vv=3 matches uu=13 (neighbour of 11)
+    assert rows[(1, 11, 3)] == 13
+    # v=2,u=12: vv=4 has no match at all -> NULL uu (left outer semantics)
+    assert rows[(2, 12, 4)] is None

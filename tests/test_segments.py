@@ -1,0 +1,127 @@
+"""Segment store + block-max scorer invariants (SURVEY.md §5 plan):
+
+  1. segment path top-k == oracle top-k (rank- and score-identical)
+  2. pruned (MaxScore/block-max) == exhaustive — the WAND==exhaustive
+     invariant
+  3. resume-from-checkpoint build == clean build (posting-for-posting)
+  4. N-bucket build == M-bucket build (partitioning invariance), the
+     analogue of the reference's batched==unbatched equivalence test
+     (/root/reference/test/test_select.py:211-258)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fornax_spark.fulltext import oracle
+from fornax_spark.fulltext.build import build_index
+from fornax_spark.fulltext.corpus import (
+    generate_pages,
+    pages_to_spark,
+    reference_queries,
+)
+from fornax_spark.fulltext.segments import build_segments, open_segments
+from fornax_spark.fulltext.wand import search_segments
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pages = generate_pages(600, seed=43)
+    idx = build_index(spark, pages_to_spark(spark, pages, partitions=8))
+    path = str(tmp_path_factory.mktemp("seg"))
+    store = build_segments(spark, idx, path, n_buckets=16, group_size=8)
+    oidx = oracle.build_index(pages)
+    yield spark, idx, store, oidx, pages
+    idx.postings.unpersist()
+
+
+def _collect(df):
+    return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_segment_batch_search_matches_oracle(built):
+    """Full reference query set, one distributed pass, rank- and
+    score-identical to the oracle."""
+    spark, _idx, store, oidx, _pages = built
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    queries = reference_queries()
+    golden = oracle.golden_results(oidx, queries)
+    got = search_segments_batch(spark, store, queries).toPandas()
+    assert got["query_id"].tolist() == golden["query_id"].tolist()
+    assert got["rank"].tolist() == golden["rank"].tolist()
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    assert got["score"].tolist() == golden["score"].tolist()
+
+
+def test_segment_single_search_matches_oracle(built):
+    spark, _idx, store, oidx, _pages = built
+    for qt, k in [("term00000", 10), ("term00001 term00500 term03000", 10),
+                  ("zzzznotaterm", 5)]:
+        got = _collect(search_segments(spark, store, qt, k=k))
+        want = [
+            (i + 1, d, s)
+            for i, (d, s) in enumerate(oracle.query_topk(oidx, qt, k))
+        ]
+        assert got == want, qt
+
+
+def test_pruned_equals_exhaustive(built):
+    spark, _idx, store, _oidx, _pages = built
+    for qt in ["term00000 term00001", "term00002 term01000 term04000"]:
+        a = _collect(search_segments(spark, store, qt, k=10, prune=True))
+        b = _collect(search_segments(spark, store, qt, k=10, prune=False))
+        assert a == b, qt
+
+
+def test_resume_equals_clean(built, tmp_path):
+    spark, idx, _store, _oidx, _pages = built
+    clean = str(tmp_path / "clean")
+    resumed = str(tmp_path / "resumed")
+    build_segments(spark, idx, clean, n_buckets=8, group_size=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_segments(
+            spark, idx, resumed, n_buckets=8, group_size=2, fail_after_groups=2
+        )
+    build_segments(spark, idx, resumed, n_buckets=8, group_size=2)
+
+    a = open_segments(clean).blocks(spark)
+    b = open_segments(resumed).blocks(spark)
+    cols = ["bucket", "term", "block_id", "n", "df", "first_doc", "last_doc"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+    # blob-level identity too (posting-for-posting)
+    ab = {tuple(r[:3]): (bytes(r[3]), bytes(r[4]), bytes(r[5]))
+          for r in a.select("bucket", "term", "block_id", "doc_blob", "tf_blob", "dl_blob").collect()}
+    bb = {tuple(r[:3]): (bytes(r[3]), bytes(r[4]), bytes(r[5]))
+          for r in b.select("bucket", "term", "block_id", "doc_blob", "tf_blob", "dl_blob").collect()}
+    assert ab == bb
+
+
+def test_bucket_count_invariance(built, tmp_path):
+    spark, idx, _store, oidx, _pages = built
+    s4 = build_segments(spark, idx, str(tmp_path / "b4"), n_buckets=4)
+    for qt in ["term00000 term00050", "term00003"]:
+        want = [
+            (i + 1, d, s)
+            for i, (d, s) in enumerate(oracle.query_topk(oidx, qt, 10))
+        ]
+        assert _collect(search_segments(spark, s4, qt, k=10)) == want
+
+
+def test_ledger_metrics(built):
+    _spark, _idx, store, _oidx, _pages = built
+    import json
+    import os
+
+    with open(os.path.join(store.path, "ledger.json")) as f:
+        ledger = json.load(f)
+    assert ledger["stats"]["n_docs"] == 600
+    assert ledger["bytes_compressed_total"] > 0
+    total_postings = sum(g["postings"] for g in ledger["groups"].values())
+    assert total_postings > 0
+    for g in ledger["groups"].values():
+        assert g["status"] == "done"
+        assert g["build_secs"] > 0
+        assert g["lineage"]["code_version"]
