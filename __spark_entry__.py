@@ -92,6 +92,29 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FT_STORE_CACHE: dict[str, object] = {}
+
+
+def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as ft_bm25_topk, answered by the compressed segment
+    store + block-max kernel (wand.py) instead of the DataFrame join —
+    the SQL oracle is identical, which gates the whole codec/segment/
+    MaxScore path against DuckDB."""
+    import tempfile
+
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_segments
+
+    if sf_dir not in _FT_STORE_CACHE:
+        idx = _ft_index(spark, sf_dir)
+        _FT_STORE_CACHE[sf_dir] = build_segments(
+            spark, idx, tempfile.mkdtemp(prefix="fornax_entry_seg_"),
+            n_buckets=16, group_size=16,
+        )
+    out = search_segments(spark, _FT_STORE_CACHE[sf_dir], FT_QUERY, k=FT_K)
+    return out.select("rank", "doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
 def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ft_index(spark, sf_dir).postings.select("term", "doc_id", "tf")
 
@@ -441,6 +464,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_bm25_topk_segments": q_ft_bm25_topk_segments,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -475,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["ft_bm25_topk"] = BM25_SQL
+    sqls["ft_bm25_topk_segments"] = BM25_SQL
 
     sqls["ft_postings"] = f"""
         SELECT term, doc_id, count(*)::BIGINT AS tf

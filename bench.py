@@ -106,6 +106,18 @@ def main() -> None:
         batch_secs = lat[0]
         timings["ft_query_batch20"] = round(batch_secs, 3)
         qps = len(qtexts) / batch_secs
+
+        # single-query latency distribution (p50 / p95 over the set)
+        from fornax_spark.fulltext.wand import search_segments
+
+        single = []
+        for qt in qtexts[:12]:
+            t0 = time.time()
+            search_segments(spark, store, qt, k=10).count()
+            single.append(time.time() - t0)
+        single.sort()
+        p50 = single[len(single) // 2]
+        p95 = single[min(len(single) - 1, int(len(single) * 0.95))]
         with open(os.path.join(seg_dir, "ledger.json")) as f:
             ledger = json.load(f)
         bytes_compressed = ledger.get("bytes_compressed_total", 0)
@@ -127,6 +139,8 @@ def main() -> None:
         "bytes_raw_postings": n_postings * 24,
         "bytes_compressed_segments": bytes_compressed,
         "query_qps_batch": round(qps, 1),
+        "query_p50_sec": round(p50, 3),
+        "query_p95_sec": round(p95, 3),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()
