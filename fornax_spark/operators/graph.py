@@ -95,4 +95,5 @@ def match_neighbourhood_join(
         left["dist_v"],
         right["dist_u"],
         left["weight"],
+        right["w_n"],
     )

@@ -36,6 +36,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             spark.read.parquet(path).createOrReplaceTempView(t)
 
 
+def load_csv(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """CSV ingest (the reference's tutorial ingest path reads node/edge
+    CSVs, /root/reference/docs/tutorial/tutorial2.py:80-95). Explicit
+    schema strongly preferred — inferSchema is a full extra pass."""
+    reader = spark.read.option("header", True)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is on the classpath."""
     try:

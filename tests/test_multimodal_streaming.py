@@ -95,3 +95,15 @@ def test_fake_decoder_stub_contract():
     assert img.shape == (2, 4, 3) and img.dtype == np.uint8
     with pytest.raises(NotImplementedError):
         fake_decode_image(None, 4, 2)
+
+
+def test_csv_roundtrip_source(spark, tmp_path):
+    """S10: CSV ingest path (reference tutorial reads node/edge CSVs)."""
+    from fornax_spark.sources import load_csv
+
+    p = str(tmp_path / "nodes.csv")
+    with open(p, "w") as f:
+        f.write("node_id,label\n1,hero\n2,team\n3,hero\n")
+    df = load_csv(spark, p, schema="node_id long, label string")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "hero"), (2, "team"), (3, "hero")]
