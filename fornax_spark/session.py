@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # small-file corpora (test/bench parquet is a few MB) otherwise
+        # scan as ONE partition and serialize the UDF pipeline; 8 MB
+        # splits keep every core fed. On a real cluster with 100 MB+
+        # row groups the default 128 MB is fine — callers override.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
