@@ -291,9 +291,12 @@ def q_docs_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join (NOT EXISTS) — reference's existence checks inverted
-    # (/root/reference/fornax/api.py:575-588)
+    # (/root/reference/fornax/api.py:575-588). Filtered to recent orders
+    # so the result is non-trivial at every sf.
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -636,7 +639,11 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["customers_without_orders"] = """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01'
+        )
     """
 
     sqls["events_pivot"] = """
