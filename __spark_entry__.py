@@ -34,8 +34,12 @@ WITH tok AS (
 ), dl AS (
   SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
 ), stats AS (
+  -- avgdl = sum(dl) / n_docs over ALL documents (a zero-token doc has
+  -- dl=0 and no tok rows, so avg(dl) over the dl CTE would diverge from
+  -- the engine's build.corpus_stats)
   SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT avg(dl) FROM dl) AS avgdl
+         (SELECT coalesce(sum(dl), 0) FROM dl)
+           / (SELECT count(*) FROM documents) AS avgdl
 ), tf AS (
   SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
   WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
@@ -50,10 +54,17 @@ WITH tok AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY 1
 )
-SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
-       doc_id, round(score, 4) AS score
-FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+SELECT rank, doc_id, round(score, 4) AS score FROM (
+  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+         doc_id, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+) ORDER BY rank
 """
+# NB on the subquery in BM25_SQL: rounding must happen OUTSIDE the
+# ranking query. With `round(score,4) AS score` in the same SELECT, the
+# outer ORDER BY `score` binds to the OUTPUT ALIAS (rounded) while the
+# window ranks by the raw column — a 4-dp tie near the cutoff then emits
+# rank 11 without rank 10 (observed at sf0.001, docs 201 vs 49).
 
 TOKENS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -109,7 +120,7 @@ def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _ft_index(spark, sf_dir)
         _FT_STORE_CACHE[sf_dir] = build_segments(
             spark, idx, tempfile.mkdtemp(prefix="fornax_entry_seg_"),
-            n_buckets=16, group_size=16,
+            n_buckets=16,
         )
     out = search_segments(spark, _FT_STORE_CACHE[sf_dir], FT_QUERY, k=FT_K)
     return out.select("rank", "doc_id", F.round(F.col("score"), 4).alias("score"))

@@ -77,9 +77,18 @@ def main() -> None:
 
     seg_dir = tempfile.mkdtemp(prefix="fornax_seg_")
     try:
-        t0 = time.time()
-        build_segments(spark, idx, seg_dir, n_buckets=32, group_size=32)
-        seg_build_secs = time.time() - t0
+        # best-of-2 (like the query batches below): this VM shows a
+        # wandering multi-second stall in long 32-thread sessions that
+        # single-shot timings conflate with real cost
+        seg_build_secs = None
+        for rep in range(2):
+            d = seg_dir if rep == 0 else tempfile.mkdtemp(prefix="fornax_seg2_")
+            t0 = time.time()
+            build_segments(spark, idx, d, n_buckets=32)
+            secs = time.time() - t0
+            seg_build_secs = secs if seg_build_secs is None else min(seg_build_secs, secs)
+            if rep:
+                shutil.rmtree(d, ignore_errors=True)
         timings["ft_segment_build"] = round(seg_build_secs, 3)
 
         from fornax_spark.fulltext.segments import open_segments

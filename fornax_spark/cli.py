@@ -12,7 +12,9 @@ In local mode the same commands run as plain `python -m fornax_spark.cli`.
 Subcommands:
     gen-corpus  --docs N --out PATH          deterministic synthetic pages
     build       --pages PATH --out PATH      index -> compressed segments
-                [--buckets 64] [--resume]    (resume skips done groups)
+                [--buckets 64] [--group-size N]
+                (re-running resumes implicitly: done groups are skipped;
+                 a layout/corpus mismatch wipes the store and rebuilds)
     query       --index PATH --q "terms"     top-k via block-max kernel
                 [--k 10] [--exhaustive]
     merge       --out PATH store1 store2...  LSM compaction
@@ -41,7 +43,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--pages", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--buckets", type=int, default=64)
-    b.add_argument("--group-size", type=int, default=8)
+    b.add_argument(
+        "--group-size", type=int, default=None,
+        help="buckets per resume checkpoint (default: all in one job)",
+    )
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

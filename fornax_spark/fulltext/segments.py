@@ -55,7 +55,14 @@ _SIGN_BIT = -(1 << 63)  # XOR with this == order-preserving bias to uint64
 
 
 def bucket_col(doc_id_col, n_buckets: int):
-    """Doc-shard bucket = top log2(n_buckets) bits of biased doc id."""
+    """Doc-shard bucket = top log2(n_buckets) bits of biased doc id.
+
+    n_buckets=1 is special-cased: the JVM masks shift amounts to the
+    low 6 bits, so shiftrightunsigned(x, 64) would be a no-op instead
+    of producing 0.
+    """
+    if n_buckets == 1:
+        return F.lit(0)
     shift = 64 - int(math.log2(n_buckets))
     return F.shiftrightunsigned(
         doc_id_col.bitwiseXOR(F.lit(_SIGN_BIT)), shift
@@ -63,6 +70,8 @@ def bucket_col(doc_id_col, n_buckets: int):
 
 
 def bucket_of_doc(doc_id: int, n_buckets: int) -> int:
+    if n_buckets == 1:
+        return 0
     shift = 64 - int(math.log2(n_buckets))
     return ((doc_id ^ (1 << 63)) & ((1 << 64) - 1)) >> shift
 
@@ -181,37 +190,83 @@ def _save_ledger(path: str, ledger: dict) -> None:
     os.replace(tmp, lp)  # atomic done-marker
 
 
+def encoded_blocks(
+    idx: InvertedIndex,
+    buckets: list[int],
+    n_buckets: int,
+    block_size: int,
+    parallelism: int,
+) -> DataFrame:
+    """The encode plan for one bucket group: postings -> posting blocks.
+
+    Plan shape (guarded by tests/test_plans.py):
+      * term_stats is df-per-term: ~vocabulary-sized (50k rows at sf0.1,
+        low millions at web scale) — BROADCAST, so the postings (the
+        100 TB side) are never shuffled for the join; no SortMergeJoin.
+      * exactly ONE shuffle of the postings: the range repartition that
+        IS the index layout. Parallelism is sized to the cluster, not
+        the bucket count — range partitioning by (bucket, term) keeps
+        every (bucket, term) encode group intact in one partition while
+        letting many tasks share a bucket, so a hot bucket no longer
+        caps concurrency. Range (not hash) partitioning also keeps each
+        task's rows inside 1-2 bucket dirs, so the partitionBy("bucket")
+        write emits O(parallelism + n_buckets) files instead of
+        O(parallelism x n_buckets).
+    """
+    p = (
+        idx.postings.join(F.broadcast(idx.term_stats), "term")
+        .withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
+        .filter(F.col("bucket").isin(buckets))
+    )
+    encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size)
+    return (
+        p.repartitionByRange(max(len(buckets), parallelism), "bucket", "term")
+        .sortWithinPartitions("bucket", "term", "doc_id")
+        .mapInPandas(encode, SEG_SCHEMA)
+    )
+
+
 def build_segments(
     spark: SparkSession,
     idx: InvertedIndex,
     path: str,
     n_buckets: int = 32,
     block_size: int = codec.BLOCK_SIZE,
-    group_size: int = 8,
+    group_size: int | None = None,
     fail_after_groups: int | None = None,
     code_version: str = "fornax_spark-0.1",
 ) -> SegmentStore:
     """Encode the index into a segment store, resumable per bucket group.
 
+    group_size: buckets per atomic write + ledger row. Default = ALL
+    buckets in one Spark job — the group loop exists only as the resume
+    granularity knob (checkpoint every `group_size` buckets); smaller
+    groups trade wall-clock (serial jobs) for finer restart points.
+
     fail_after_groups: test hook — raise after N groups to exercise the
     resume path (metamorphic: resumed build == clean build).
     """
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    if group_size is None:
+        group_size = n_buckets
     os.makedirs(path, exist_ok=True)
     ledger = _load_ledger(path)
-    ledger["stats"] = {"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl,
-                       "n_buckets": n_buckets, "block_size": block_size}
-
-    p = (
-        idx.postings.join(idx.term_stats, "term")
-        .withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
-    )
-    encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size)
+    stats_now = {"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl,
+                 "n_buckets": n_buckets, "block_size": block_size}
+    # Resume safety: a ledger written under a different layout or corpus
+    # must not be silently mixed with this run (stale bucket=N dirs from
+    # a wider layout would read back as valid blocks and corrupt query
+    # results). Wipe and rebuild from scratch on any mismatch.
+    if ledger["groups"] and ledger.get("stats") != stats_now:
+        shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
+        ledger = {"groups": {}, "stats": None}
+    ledger["stats"] = stats_now
 
     groups = [
         list(range(g, min(g + group_size, n_buckets)))
         for g in range(0, n_buckets, group_size)
     ]
+    parallelism = spark.sparkContext.defaultParallelism
     done_groups = 0
     for gi, buckets in enumerate(groups):
         key = f"g{gi:04d}"
@@ -221,11 +276,8 @@ def build_segments(
             _save_ledger(path, ledger)
             raise RuntimeError(f"injected failure before group {key}")
         t0 = time.time()
-        part = p.filter(F.col("bucket").isin(buckets))
-        enc = (
-            part.repartition(len(buckets), "bucket")
-            .sortWithinPartitions("bucket", "term", "doc_id")
-            .mapInPandas(encode, SEG_SCHEMA)
+        enc = encoded_blocks(
+            idx, buckets, n_buckets, block_size, parallelism
         )
         out_dir = os.path.join(path, "segments")
         # idempotent per-group write: overwrite only this group's bucket dirs
@@ -238,10 +290,20 @@ def build_segments(
             .mode("append")
             .parquet(out_dir)
         )
-        m = part.agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count(F.lit(1)).alias("postings"),
-        ).collect()[0]
+        # ledger metrics from a column-pruned, join-free postings scan
+        # (doc_id only) — NOT from `part`, which would replay the join.
+        m = (
+            idx.postings.select(
+                "doc_id",
+                bucket_col(F.col("doc_id"), n_buckets).alias("bucket"),
+            )
+            .filter(F.col("bucket").isin(buckets))
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count(F.lit(1)).alias("postings"),
+            )
+            .collect()[0]
+        )
         secs = time.time() - t0
         ledger["groups"][key] = {
             "status": "done",

@@ -14,7 +14,11 @@ from fornax_spark.fulltext.build import (
     docs_from_table,
 )
 from fornax_spark.fulltext.query import query_terms_df, score_batch
-from fornax_spark.plans import count_exchanges, physical_plan
+from fornax_spark.plans import (
+    count_exchanges,
+    count_shuffle_exchanges,
+    physical_plan,
+)
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +32,24 @@ def docs(spark):
 def test_postings_build_is_shuffle_free(docs):
     plan_df = build_postings(docs_from_table(docs))
     assert count_exchanges(plan_df) == 0, physical_plan(plan_df)
+
+
+def test_segment_build_broadcasts_term_stats(spark, docs):
+    """The encode path must broadcast term_stats (never sort-merge join
+    the postings) and shuffle the postings exactly once — the range
+    repartition that IS the segment layout."""
+    from fornax_spark.fulltext.segments import encoded_blocks
+
+    idx = build_index_from_table(docs)
+    enc = encoded_blocks(idx, list(range(8)), 8, 128, parallelism=8)
+    plan = physical_plan(enc)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one shuffle of the BIG (postings) side: the range
+    # repartition that is the segment layout. The term_stats agg shuffle
+    # inside the broadcast subtree is vocabulary-sized — allowed.
+    assert count_shuffle_exchanges(enc, on_big_side=True) == 1, plan
+    idx.postings.unpersist()
 
 
 def test_query_broadcasts_terms_not_index(spark, docs):

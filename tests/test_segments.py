@@ -110,6 +110,41 @@ def test_bucket_count_invariance(built, tmp_path):
         assert _collect(search_segments(spark, s4, qt, k=10)) == want
 
 
+def test_resume_layout_mismatch_wipes_store(built, tmp_path):
+    """Re-running into an existing store with a DIFFERENT layout must not
+    mix old bucket dirs with new ones — the store is wiped and rebuilt
+    (ADVICE round 1: stale bucket=N dirs read back as valid blocks)."""
+    import os
+
+    spark, idx, _store, oidx, _pages = built
+    path = str(tmp_path / "relayout")
+    build_segments(spark, idx, path, n_buckets=16)
+    assert os.path.exists(os.path.join(path, "segments", "bucket=15"))
+    # shrink the layout: buckets 4..15 would be stale leftovers
+    s4 = build_segments(spark, idx, path, n_buckets=4)
+    assert not os.path.exists(os.path.join(path, "segments", "bucket=15"))
+    assert s4.n_buckets == 4
+    want = [
+        (i + 1, d, s)
+        for i, (d, s) in enumerate(oracle.query_topk(oidx, "term00000", 10))
+    ]
+    assert _collect(search_segments(spark, s4, "term00000", k=10)) == want
+
+
+def test_single_bucket_store(built, tmp_path):
+    """n_buckets=1 (shift==64 edge case) must agree with the oracle."""
+    spark, idx, _store, oidx, _pages = built
+    from fornax_spark.fulltext.segments import bucket_of_doc
+
+    s1 = build_segments(spark, idx, str(tmp_path / "b1"), n_buckets=1)
+    assert bucket_of_doc(-12345, 1) == 0
+    want = [
+        (i + 1, d, s)
+        for i, (d, s) in enumerate(oracle.query_topk(oidx, "term00001", 10))
+    ]
+    assert _collect(search_segments(spark, s1, "term00001", k=10)) == want
+
+
 def test_ledger_metrics(built):
     _spark, _idx, store, _oidx, _pages = built
     import json
