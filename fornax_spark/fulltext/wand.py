@@ -72,83 +72,141 @@ def _topk_from_triples(doc_arr, rank_arr, contrib_arr, k):
     return docs_u[o][:k], scores[o][:k]
 
 
+def _score_one_query(
+    by_term: dict[str, list],
+    terms: list[str],
+    k: int,
+    prune: bool,
+    n_docs: int,
+    avgdl: float,
+    decode,
+):
+    """MaxScore-pruned scoring of ONE query against one bucket's blocks.
+
+    by_term: term -> block rows (namedtuples) for this bucket.
+    decode: (term, row) -> (docs, tf, dl) — injectable so the batch path
+    can share a per-block decode cache across queries.
+    Returns (docs, scores) arrays or None if no term matches.
+
+    Both the single-query and the batch kernel run THIS routine, so
+    batch-pruned == batch-exhaustive == single-query is an identity by
+    construction (and a test invariant in tests/test_segments.py).
+    """
+    present = [t for t in sorted(set(terms)) if t in by_term]
+    if not present:
+        return None
+    # term-rank in ASCENDING term-string order = the float-sum order
+    rank_of = {t: i for i, t in enumerate(present)}
+    # per-term max contribution (U_t) from block-max metadata;
+    # process order: descending U_t (deterministic tiebreak by term)
+    u = {t: max(r.block_max for r in by_term[t]) for t in present}
+    order = sorted(present, key=lambda t: (-u[t], t))
+    uarr = np.array([u[t] for t in order])
+    suffix_ub = np.concatenate([np.cumsum(uarr[::-1])[::-1], [0.0]])
+
+    acc_docs = np.empty(0, dtype=np.int64)  # sorted candidate ids
+    acc_scores = np.empty(0, dtype=np.float64)  # running exact sums
+    trip_d: list[np.ndarray] = []
+    trip_r: list[np.ndarray] = []
+    trip_c: list[np.ndarray] = []
+    open_admission = True
+
+    for i, t in enumerate(order):
+        if not open_admission and len(acc_docs) == 0:
+            break
+        rows = by_term[t]
+        d_parts, tf_parts, dl_parts = [], [], []
+        for row in rows:
+            if not open_admission:
+                # block skip: fence must intersect candidate set
+                lo = np.searchsorted(acc_docs, row.first_doc, "left")
+                hi = np.searchsorted(acc_docs, row.last_doc, "right")
+                if lo == hi:
+                    continue
+            docs, tf, dl = decode(t, row)
+            if not open_admission:
+                m = np.isin(docs, acc_docs, assume_unique=True)
+                if not m.any():
+                    continue
+                docs, tf, dl = docs[m], tf[m], dl[m]
+            d_parts.append(docs)
+            tf_parts.append(tf)
+            dl_parts.append(dl)
+        if d_parts:
+            docs = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts)
+            dl = np.concatenate(dl_parts)
+            df_t = int(rows[0].df)
+            contrib = bm25.term_score(
+                tf, dl, np.full(len(tf), df_t), n_docs, avgdl
+            )
+            trip_d.append(docs)
+            trip_r.append(np.full(len(docs), rank_of[t], dtype=np.int64))
+            trip_c.append(contrib)
+            # update running exact sums (order-free here: these running
+            # sums only gate pruning; final sums are recomputed in
+            # fixed order inside _topk_from_triples)
+            all_docs = np.concatenate([acc_docs, docs])
+            all_sc = np.concatenate([acc_scores, contrib])
+            acc_docs, inv = np.unique(all_docs, return_inverse=True)
+            acc_scores = np.zeros(len(acc_docs))
+            np.add.at(acc_scores, inv, all_sc)
+        if prune and open_admission and len(acc_scores) >= k:
+            theta = np.partition(acc_scores, len(acc_scores) - k)[
+                len(acc_scores) - k
+            ]
+            if suffix_ub[i + 1] < theta:
+                open_admission = False
+
+    if not trip_d:
+        return None
+    return _topk_from_triples(
+        np.concatenate(trip_d),
+        np.concatenate(trip_r),
+        np.concatenate(trip_c),
+        k,
+    )
+
+
+def _group_blocks_by_term(pdf: pd.DataFrame) -> dict[str, list]:
+    """term -> block rows sorted by block_id (files of a bucket arrive in
+    arbitrary order; scores are order-free, but sorted blocks keep the
+    fence skips sequential)."""
+    by_term: dict[str, list] = {}
+    for row in pdf.itertuples(index=False):
+        by_term.setdefault(row.term, []).append(row)
+    for rows in by_term.values():
+        rows.sort(key=lambda r: r.block_id)
+    return by_term
+
+
+def _make_decode_cache():
+    """Per-block decode memo keyed by (term, block_id) — shared across
+    the queries of a batch so each block is decompressed at most once
+    per bucket regardless of how many queries touch its term."""
+    cache: dict[tuple[str, int], tuple] = {}
+
+    def decode(t: str, row):
+        key = (t, int(row.block_id))
+        if key not in cache:
+            cache[key] = _decode_block(row)
+        return cache[key]
+
+    return decode
+
+
 def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []})
-        # term-rank in ASCENDING term-string order = the float-sum order
-        terms = sorted(pdf["term"].unique())
-        rank_of = {t: i for i, t in enumerate(terms)}
-        # per-term max contribution (U_t) from block-max metadata
-        g = pdf.groupby("term")["block_max"].max()
-        # process order: descending U_t (deterministic tiebreak by term)
-        order = sorted(terms, key=lambda t: (-g[t], t))
-        u = np.array([g[t] for t in order])
-        suffix_ub = np.concatenate([np.cumsum(u[::-1])[::-1], [0.0]])
-
-        acc_docs = np.empty(0, dtype=np.int64)  # sorted candidate ids
-        acc_scores = np.empty(0, dtype=np.float64)  # running exact sums
-        trip_d: list[np.ndarray] = []
-        trip_r: list[np.ndarray] = []
-        trip_c: list[np.ndarray] = []
-        open_admission = True
-
-        for i, t in enumerate(order):
-            rows = pdf[pdf["term"] == t]
-            if not open_admission and len(acc_docs) == 0:
-                break
-            blocks = list(rows.itertuples(index=False))
-            d_parts, tf_parts, dl_parts = [], [], []
-            for row in blocks:
-                if not open_admission:
-                    # block skip: fence must intersect candidate set
-                    lo = np.searchsorted(acc_docs, row.first_doc, "left")
-                    hi = np.searchsorted(acc_docs, row.last_doc, "right")
-                    if lo == hi:
-                        continue
-                docs, tf, dl = _decode_block(row)
-                if not open_admission:
-                    m = np.isin(docs, acc_docs, assume_unique=True)
-                    if not m.any():
-                        continue
-                    docs, tf, dl = docs[m], tf[m], dl[m]
-                d_parts.append(docs)
-                tf_parts.append(tf)
-                dl_parts.append(dl)
-            if d_parts:
-                docs = np.concatenate(d_parts)
-                tf = np.concatenate(tf_parts)
-                dl = np.concatenate(dl_parts)
-                df_t = int(rows["df"].iloc[0])
-                contrib = bm25.term_score(
-                    tf, dl, np.full(len(tf), df_t), n_docs, avgdl
-                )
-                trip_d.append(docs)
-                trip_r.append(np.full(len(docs), rank_of[t], dtype=np.int64))
-                trip_c.append(contrib)
-                # update running exact sums (order-free here: these running
-                # sums only gate pruning; final sums are recomputed in
-                # fixed order below)
-                all_docs = np.concatenate([acc_docs, docs])
-                all_sc = np.concatenate([acc_scores, contrib])
-                acc_docs, inv = np.unique(all_docs, return_inverse=True)
-                acc_scores = np.zeros(len(acc_docs))
-                np.add.at(acc_scores, inv, all_sc)
-            if prune and open_admission and len(acc_scores) >= k:
-                theta = np.partition(acc_scores, len(acc_scores) - k)[
-                    len(acc_scores) - k
-                ]
-                if suffix_ub[i + 1] < theta:
-                    open_admission = False
-
-        if not trip_d:
-            return pd.DataFrame({"doc_id": [], "score": []})
-        docs_k, scores_k = _topk_from_triples(
-            np.concatenate(trip_d),
-            np.concatenate(trip_r),
-            np.concatenate(trip_c),
-            k,
+        by_term = _group_blocks_by_term(pdf)
+        res = _score_one_query(
+            by_term, list(by_term), k, prune, n_docs, avgdl,
+            _make_decode_cache(),
         )
+        if res is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        docs_k, scores_k = res
         return pd.DataFrame({"doc_id": docs_k, "score": scores_k})
 
     return kernel
@@ -157,49 +215,25 @@ def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float):
 def _score_bucket_kernel_batch(
     queries: list[tuple[int, list[str], int]], prune: bool, n_docs: int, avgdl: float
 ):
-    """Batched variant: score every query in one pass per bucket, sharing
-    block decodes across queries via a per-term cache. Output rows
-    (query_id, doc_id, score)."""
+    """Batched variant: score every query in one pass per bucket through
+    the SAME MaxScore-pruned routine as the single-query path, sharing
+    block decodes across queries via a per-(term, block) cache. Output
+    rows (query_id, doc_id, score)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-        by_term: dict[str, pd.DataFrame] = {
-            t: g for t, g in pdf.groupby("term")
-        }
-        decode_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, int]] = {}
-
-        def decoded(t: str):
-            if t not in decode_cache:
-                rows = by_term[t]
-                parts = [_decode_block(r) for r in rows.itertuples(index=False)]
-                docs = np.concatenate([p[0] for p in parts])
-                tf = np.concatenate([p[1] for p in parts])
-                dl = np.concatenate([p[2] for p in parts])
-                decode_cache[t] = (docs, tf, dl, int(rows["df"].iloc[0]))
-            return decode_cache[t]
+        by_term = _group_blocks_by_term(pdf)
+        decode = _make_decode_cache()
 
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in queries:
-            present = [t for t in sorted(set(terms)) if t in by_term]
-            if not present:
-                continue
-            rank_of = {t: i for i, t in enumerate(present)}
-            trip_d, trip_r, trip_c = [], [], []
-            for t in present:
-                docs, tf, dl, df_t = decoded(t)
-                contrib = bm25.term_score(
-                    tf, dl, np.full(len(tf), df_t), n_docs, avgdl
-                )
-                trip_d.append(docs)
-                trip_r.append(np.full(len(docs), rank_of[t], dtype=np.int64))
-                trip_c.append(contrib)
-            docs_k, scores_k = _topk_from_triples(
-                np.concatenate(trip_d),
-                np.concatenate(trip_r),
-                np.concatenate(trip_c),
-                k,
+            res = _score_one_query(
+                by_term, terms, k, prune, n_docs, avgdl, decode
             )
+            if res is None:
+                continue
+            docs_k, scores_k = res
             out_q.append(np.full(len(docs_k), qid, dtype=np.int64))
             out_d.append(docs_k)
             out_s.append(scores_k)
@@ -225,9 +259,9 @@ def search_segments_batch(
     """All queries in ONE distributed pass: (query_id, rank, doc_id, score).
 
     queries_pdf: pandas DataFrame (query_id, query_text, k).
-    Batch mode shares block decodes across queries; MaxScore admission
-    pruning currently applies only to the single-query path (the batch
-    kernel is exhaustive over term-matched candidates).
+    Each query runs the same MaxScore-pruned kernel as the single-query
+    path; block decodes are shared across queries via a per-(term, block)
+    cache, so pruning costs nothing extra in batch mode.
     """
     from pyspark.sql import Window
 

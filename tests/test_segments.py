@@ -66,6 +66,34 @@ def test_segment_single_search_matches_oracle(built):
         assert got == want, qt
 
 
+def test_batch_pruned_equals_exhaustive_equals_single(built):
+    """Metamorphic: batch-pruned == batch-exhaustive == per-query single
+    path, all three bit-identical (same kernel by construction, but this
+    guards the decode-cache sharing and per-query pruning state)."""
+    spark, _idx, store, _oidx, _pages = built
+    import pandas as pd
+
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    qtexts = [
+        "term00000 term00001",
+        "term00002 term01000 term04000",
+        "term00000",
+        "zzzznotaterm",
+    ]
+    qpdf = pd.DataFrame(
+        {"query_id": range(len(qtexts)), "query_text": qtexts, "k": 7}
+    )
+    pruned = search_segments_batch(spark, store, qpdf, prune=True).collect()
+    exhaust = search_segments_batch(spark, store, qpdf, prune=False).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in exhaust]
+    singles = []
+    for qid, qt in enumerate(qtexts):
+        for r in search_segments(spark, store, qt, k=7).collect():
+            singles.append((qid, r["rank"], r["doc_id"], r["score"]))
+    assert [tuple(r) for r in pruned] == singles
+
+
 def test_pruned_equals_exhaustive(built):
     spark, _idx, store, _oidx, _pages = built
     for qt in ["term00000 term00001", "term00002 term01000 term04000"]:
