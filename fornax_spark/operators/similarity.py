@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -65,7 +67,7 @@ def cosine_topk(
 
 
 # ---------------------------------------------------------------------------
-# LSH ANN: random hyperplane signatures -> bucket join -> exact re-rank
+# LSH ANN: a persisted bucket-keyed signature INDEX, built once per corpus
 # ---------------------------------------------------------------------------
 
 
@@ -74,31 +76,162 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def hyperplane_signatures(
+def _buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow kernel: all `n_tables` hyperplane signatures in one pass.
+    Plane matrices are closure constants (a few KB, shipped with the task)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+            out[:, t] = ((m @ planes.T) > 0).astype(np.int64) @ weights
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def _query_probes(
+    query_vec, dim: int, n_planes: int, n_tables: int, seed: int,
+    multiprobe: int = 1,
+) -> list[set[int]]:
+    """Per-table probe buckets for a query: its own bucket plus all
+    buckets within Hamming distance `multiprobe` (driver-side numpy on a
+    single vector — O(tables x planes), not a data pass)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes: list[set[int]] = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        qb = int(((planes @ qv) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
+        ps = {qb}
+        if multiprobe >= 1:
+            ps |= {qb ^ (1 << i) for i in range(n_planes)}
+        if multiprobe >= 2:
+            ps |= {
+                qb ^ (1 << i) ^ (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            }
+        probes.append(ps)
+    return probes
+
+
+@dataclass
+class AnnIndex:
+    """Bucket-keyed signature table: one row per (table_id, bucket, id).
+
+    The index is COMPUTED ONCE per corpus (the Arrow signature kernel
+    never runs at query time); queries are pruned scans of this table.
+    In-session it is a persisted DataFrame; `write`/`open_ann_index`
+    give it a durable parquet form laid out sorted by (table_id, bucket)
+    so row-group min/max stats prune the probe lookups."""
+
+    sigs: DataFrame  # (table_id int, bucket long, id long, vec array<..>)
+    dim: int
+    n_planes: int
+    n_tables: int
+    seed: int
+
+    def unpersist(self) -> None:
+        self.sigs.unpersist()
+
+
+def build_ann_index(
     df: DataFrame,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = True,
+) -> AnnIndex:
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            _buckets_udf(dim, n_planes, n_tables, seed)(F.col(vec_col)).alias(
+                "buckets"
+            ),
+        )
+        .select("id", "vec", F.posexplode("buckets").alias("table_id", "bucket"))
+        .select("table_id", "bucket", "id", "vec")
+    )
+    if persist:
+        sigs = sigs.persist()
+    return AnnIndex(
+        sigs=sigs, dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
+
+
+def write_ann_index(index: AnnIndex, path: str) -> None:
+    """Durable form: parquet sorted by (table_id, bucket) for row-group
+    pruning, plus a meta file with the hyperplane parameters."""
+    import json
+    import os
+
+    (
+        index.sigs.repartitionByRange(
+            index.sigs.sparkSession.sparkContext.defaultParallelism,
+            "table_id", "bucket",
+        )
+        .sortWithinPartitions("table_id", "bucket")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "sigs"))
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "dim": index.dim,
+                "n_planes": index.n_planes,
+                "n_tables": index.n_tables,
+                "seed": index.seed,
+            },
+            f,
+        )
+
+
+def open_ann_index(spark, path: str) -> AnnIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return AnnIndex(
+        sigs=spark.read.parquet(os.path.join(path, "sigs")), **meta
+    )
+
+
+def ann_search(
+    index: AnnIndex,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """(id, bucket) — sign pattern of <v, plane_i> packed into an int.
+    """Approximate top-k against a prebuilt AnnIndex: candidates = rows
+    whose (table_id, bucket) matches a probe in ANY table
+    (OR-construction across tables, Hamming-`multiprobe` probing within
+    a table), then exact cosine re-rank of the candidates only.
 
-    One Arrow-vectorized kernel; the plane matrix is a closure constant
-    (broadcast with the task, a few KB)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-
-    @F.pandas_udf(T.LongType())
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim) float
-        signs = (m.astype(np.float64) @ planes.T) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(signs.astype(np.int64) @ weights)
-
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+    No UDF runs here — the probe set is a driver-side constant and the
+    candidate fetch is a predicate-pushed scan of the signature table."""
+    probes = _query_probes(
+        query_vec, index.dim, index.n_planes, index.n_tables, index.seed,
+        multiprobe,
+    )
+    cond = None
+    for t, ps in enumerate(probes):
+        c = (F.col("table_id") == t) & F.col("bucket").isin(sorted(ps))
+        cond = c if cond is None else (cond | c)
+    cand = index.sigs.filter(cond).dropDuplicates(["id"])
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col("vec"), q) / (_norm(F.col("vec")) * _norm(q))
+    return (
+        cand.select(F.col("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
     )
 
 
@@ -113,50 +246,14 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via multi-table hyperplane LSH (OR-construction):
-    a vector is a candidate if it shares the query's bucket — or a
-    Hamming-1 neighbor bucket — in ANY of `n_tables` independent tables.
-    Exact cosine re-rank on the candidates only.
-
-    Scale: one Arrow-vectorized kernel computes all table buckets;
-    candidate filtering is a scan with an isin predicate per table
-    (index-free ANN). A persisted-signature variant would turn this into
-    a bucket-join against a signature table."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def buckets_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
-        for t in range(n_tables):
-            planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-            out[:, t] = ((m @ planes.T) > 0).astype(np.int64) @ weights
-        return pd.Series(list(out))
-
-    probes = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        qb = int(((planes @ qv) > 0).astype(np.int64) @ (1 << np.arange(n_planes)))
-        probes.append({qb} | {qb ^ (1 << i) for i in range(n_planes)})
-
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        buckets_udf(F.col(vec_col)).alias("buckets"),
+    """One-shot convenience: build a transient AnnIndex and search it.
+    Amortized use (many queries, one corpus) should build_ann_index once
+    and call ann_search per query — the signature kernel then runs once,
+    not per query."""
+    index = build_ann_index(
+        df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=False
     )
-    cond = None
-    for t in range(n_tables):
-        c = F.element_at(F.col("buckets"), t + 1).isin(sorted(probes[t]))
-        cond = c if cond is None else (cond | c)
-    cand = sigs.filter(cond)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = _dot(F.col("vec"), q) / (_norm(F.col("vec")) * _norm(q))
-    return (
-        cand.select(F.col("id"), F.round(cos, 6).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    return ann_search(index, query_vec, k=k, multiprobe=1)
 
 
 def embedding_near_dup_pairs(
@@ -164,23 +261,35 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 12,
+    n_tables: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cosine >= threshold) via LSH bucket equi-join +
-    exact JVM re-rank. Never O(n^2)."""
-    sigs = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
-    sigs.persist()  # self-joined; avoid recomputing the UDF per side
+    exact JVM re-rank. Never O(n^2): candidates are pairs colliding in
+    ANY of `n_tables` hyperplane tables (equi-join on (table_id, bucket)
+    keys), deduplicated before the exact cosine verify."""
+    index = build_ann_index(
+        df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=True
+    )
+    sigs = index.sigs
     a = sigs.alias("a")
     b = sigs.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.vec").alias("va"),
-        F.col("b.vec").alias("vb"),
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # multi-table collisions
     )
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (

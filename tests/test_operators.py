@@ -115,6 +115,79 @@ def test_ann_lsh_recall(spark):
     assert len(exact & approx) >= 8
 
 
+def test_ann_index_build_once_search_many(spark, tmp_path):
+    """The persisted signature index answers queries without re-running
+    the signature UDF, agrees with the one-shot wrapper, and round-trips
+    through its durable parquet form."""
+    from fornax_spark.operators.similarity import (
+        ann_search,
+        ann_topk_lsh,
+        build_ann_index,
+        open_ann_index,
+        write_ann_index,
+    )
+    from fornax_spark.plans import physical_plan
+
+    rng = np.random.default_rng(6)
+    qv = rng.standard_normal(16)
+    qv /= np.linalg.norm(qv)
+    vecs = np.vstack(
+        [qv[None, :] + 0.25 * rng.standard_normal((10, 16)),
+         rng.standard_normal((190, 16))]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in qv]
+    index = build_ann_index(df, dim=16, n_planes=8, n_tables=4)
+    index.sigs.count()  # materialize the cache
+    got = [tuple(r) for r in ann_search(index, q, k=10).collect()]
+    # identical to the one-shot wrapper (same planes, same probes)
+    assert got == [tuple(r) for r in ann_topk_lsh(df, q, dim=16, k=10).collect()]
+    # query-time plan reads the cached signature table; the Arrow
+    # signature kernel does not re-run above it
+    tree = physical_plan(ann_search(index, q, k=10)).split("\n\n")[0]
+    scan_line = [ln for ln in tree.splitlines() if "InMemoryTableScan" in ln]
+    assert scan_line, tree
+    above = tree[: tree.index(scan_line[0])]
+    assert "ArrowEvalPython" not in above, tree
+    # durable round-trip
+    write_ann_index(index, str(tmp_path / "ann"))
+    reopened = open_ann_index(spark, str(tmp_path / "ann"))
+    assert [tuple(r) for r in ann_search(reopened, q, k=10).collect()] == got
+    index.unpersist()
+
+
+def test_embedding_near_dup_pairs_multi_table(spark):
+    """Multi-table LSH near-dup pairs: finds every planted duplicate
+    (recall 1.0 on this fixture), output deduplicated across tables."""
+    from fornax_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 16)).astype(np.float64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    # planted near-dups: ids 100+i are small perturbations of i (i % 3 == 0)
+    want_pairs = set()
+    for i in range(0, 60, 3):
+        v = base[i] + 0.22 * np.roll(base[i], 1)
+        rows.append((100 + i, [float(x) for x in v]))
+        want_pairs.add((i, 100 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, dim=16, threshold=0.9, n_planes=8, n_tables=12
+        ).collect()
+    }
+    assert want_pairs <= got
+    # no duplicate pair rows despite multi-table collisions
+    out = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.9, n_planes=8, n_tables=12
+    )
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
 def test_textstats_kernels(spark, docs_df):
     from fornax_spark.operators.textstats import (
         fingerprints,

@@ -52,6 +52,21 @@ def test_segment_build_broadcasts_term_stats(spark, docs):
     idx.postings.unpersist()
 
 
+def test_emb_similar_pairs_entry_is_not_cartesian(spark):
+    """The driver entry for embedding near-dup pairs must be an LSH
+    bucket EQUI-join — BroadcastNestedLoopJoin/CartesianProduct (the
+    O(n^2) scale-killers) must not appear in its plan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["emb_similar_pairs"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan  # it IS a join, on the bucket equi-key
+
+
 def test_query_broadcasts_terms_not_index(spark, docs):
     idx = build_index_from_table(docs)
     qt = query_terms_df(
