@@ -491,6 +491,56 @@ def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# subgraph matching (the reference's flagship product)
+# ---------------------------------------------------------------------------
+
+# fixed fixture = the reference's figure-4 scenario
+# (/root/reference/test/test_api.py:462-530, 0-based ids); the top-2
+# subgraphs and their golden node-link payloads are asserted against the
+# reference's own expected values in tests/test_subgraphs.py.
+NEMA_QE = [(0, 2), (0, 1), (1, 3), (3, 4)]
+NEMA_TE = [
+    (0, 1), (0, 2), (0, 3), (2, 6), (3, 4), (3, 5), (4, 6), (5, 7),
+    (6, 9), (7, 8), (7, 11), (8, 9), (9, 10), (10, 11), (10, 12),
+]
+NEMA_M = [
+    (0, 0), (0, 3), (0, 7), (1, 1), (1, 4), (1, 8), (2, 2), (2, 5),
+    (2, 11), (2, 12), (3, 6), (3, 9), (4, 10),
+]
+
+
+def q_nema_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n scored subgraph matches, flattened to (subgraph_id, v, u,
+    score) on the FIXED figure-4 fixture (independent of sf — the
+    iterative matcher + greedy enumeration is a golden-path check, not a
+    scan; the oracle is the constant expected table, itself validated
+    against the reference's golden test in tests/test_subgraphs.py)."""
+    from fornax_spark.operators.nema import nema_match
+    from fornax_spark.operators.subgraphs import enumerate_subgraphs
+
+    qdf = spark.createDataFrame(NEMA_QE, "start long, end long").coalesce(1)
+    tdf = spark.createDataFrame(NEMA_TE, "start long, end long").coalesce(1)
+    mdf = spark.createDataFrame(
+        [(v, u, 1.0) for v, u in NEMA_M], "v long, u long, weight double"
+    ).coalesce(1)
+    # the fixture is tiny and the matcher is a driver-side iterative
+    # loop: wide default shuffle widths only add scheduling latency here
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = nema_match(qdf, tdf, mdf, h=2, alpha=0.3, lam=0.3, max_iters=10)
+        rows = []
+        for sid, g in enumerate(enumerate_subgraphs(res), start=1):
+            for v, u in g["pairs"]:
+                rows.append((sid, v, u, round(g["score"], 6)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return spark.createDataFrame(
+        rows, "subgraph_id int, v long, u long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -531,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
+        "nema_topn": q_nema_topn,
     }
 
 
@@ -821,6 +872,29 @@ def oracle_sql() -> dict[str, str]:
                  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         ) WHERE cosine >= 0.9
+    """
+
+    # Golden-constant oracle for the fixed figure-4 fixture. The values
+    # are the engine's deterministic output, independently validated in
+    # tests/test_subgraphs.py against the reference's own golden test
+    # (/root/reference/test/test_api.py:462-671): subgraphs 1 and 2 are
+    # the two zero-cost embeddings in the reference's hash-tiebroken
+    # order; the iterative matcher itself is validated against a pure-
+    # python oracle in tests/test_nema.py.
+    sqls["nema_topn"] = """
+        SELECT subgraph_id::INT AS subgraph_id, v::BIGINT AS v,
+               u::BIGINT AS u, score::DOUBLE AS score
+        FROM (VALUES
+          (1, 0, 7, 0.0), (1, 1, 8, 0.0), (1, 2, 5, 0.0),
+          (1, 3, 9, 0.0), (1, 4, 10, 0.0),
+          (2, 0, 7, 0.0), (2, 1, 8, 0.0), (2, 2, 11, 0.0),
+          (2, 3, 9, 0.0), (2, 4, 10, 0.0),
+          (3, 0, 3, 0.01672), (3, 1, 4, 0.01672), (3, 2, 5, 0.01672),
+          (3, 3, 6, 0.01672), (3, 4, 10, 0.01672),
+          (4, 0, 0, 0.0339), (4, 1, 1, 0.0339), (4, 2, 2, 0.0339),
+          (4, 3, 6, 0.0339), (4, 4, 10, 0.0339),
+          (5, 2, 12, 0.874615)
+        ) AS t(subgraph_id, v, u, score)
     """
 
     # minhash_pairs / simhash_pairs / ann_lsh_topk: approximate candidate

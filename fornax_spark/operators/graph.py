@@ -46,14 +46,22 @@ def hhop_neighbours(edges: DataFrame, h: int) -> DataFrame:
         F.col("node"), F.col("node").alias("neighbour"), F.lit(0).alias("distance")
     )
     frontier = acc.select("node", "neighbour")
+    frontiers = []
     for dist in range(1, h + 1):
         frontier = (
             frontier.join(e, frontier["neighbour"] == e["e_start"], "inner")
             .select("node", F.col("e_end").alias("neighbour"))
             .distinct()
         ).persist()
+        frontiers.append(frontier)
         acc = acc.unionByName(frontier.withColumn("distance", F.lit(dist)))
-    return acc.groupBy("node", "neighbour").agg(F.min("distance").alias("distance"))
+    out = acc.groupBy("node", "neighbour").agg(
+        F.min("distance").alias("distance")
+    ).persist()
+    out.count()  # materialize, then free the per-hop frontier caches
+    for f in frontiers:
+        f.unpersist()
+    return out
 
 
 def match_neighbourhood_join(

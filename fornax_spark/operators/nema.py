@@ -52,6 +52,9 @@ class NemaResult:
     inference_costs: DataFrame  # (v, u, cost)
     optimal_match: DataFrame  # (v, u, cost)
     iters: int
+    # lowest-final-cost neighbour (vv, uu) per (v, u, vv) — the greedy
+    # refiner's transition table (reference fornax/opt.py:431-507)
+    neighbour_argmins: DataFrame | None = None  # (v, u, vv, uu)
 
 
 def _optimal(inference: DataFrame) -> DataFrame:
@@ -83,6 +86,9 @@ def nema_match(
     qh = hhop_neighbours(undirect_edges(query_edges), h)
     th = hhop_neighbours(undirect_edges(target_edges), h)
     nb = match_neighbourhood_join(matches, qh, th).persist()
+    nb.count()  # materialize so the hop caches can be dropped
+    qh.unpersist()
+    th.unpersist()
 
     # V8: beta(v) = sum of proximities of v's h-hop neighbourhood
     beta = (
@@ -145,20 +151,73 @@ def nema_match(
             )
             .persist()
         )
-        inference.count()
-
         opt = _optimal(inference).persist()
+
+        # ONE materializing action per iteration (iterative driver loops
+        # pay per-action scheduling, not per-row, at this stage): the
+        # convergence stats scan opt -> inference, filling both caches.
+        converged = False
         if prev_opt is not None:
-            total = prev_opt.count()
-            same = prev_opt.select("v", "u").intersect(opt.select("v", "u")).count()
-            if total and same / total > stable_frac:
-                prev_opt = opt
-                prev_costs = inference
-                break
+            row = (
+                prev_opt.select("v", "u")
+                .withColumn("p", F.lit(1))
+                .join(
+                    opt.select("v", "u").withColumn("c", F.lit(1)),
+                    ["v", "u"],
+                    "full",
+                )
+                .agg(
+                    F.sum("p").alias("total"),
+                    F.count(F.when(F.col("p").isNotNull()
+                                   & F.col("c").isNotNull(), 1)).alias("same"),
+                )
+                .collect()[0]
+            )
+            total, same = int(row["total"] or 0), int(row["same"])
+            converged = bool(total) and same / total > stable_frac
+            prev_opt.unpersist()
+        else:
+            opt.count()
+        if prev_costs is not None:
+            prev_costs.unpersist()  # superseded iteration's cache
         prev_opt = opt
         prev_costs = inference
+        if converged:
+            break
 
+    # Greedy-refiner transition table (reference opt.py:431-487,694-696):
+    # fold the FINAL (un-normalized) inference costs back into the
+    # neighbourhood costs — a missing (vv, uu) defaults to the last
+    # 0-based pass index, mirroring the reference's dict default — and
+    # keep the lowest-cost uu per (v, u, vv). Ties break toward the
+    # smallest uu with the missing-neighbour sentinel (-1, V6) first;
+    # sentinel and self-transition rows are then dropped
+    # (reference valid_neighbours, opt.py:489-507).
+    pc_final = prev_costs.select(
+        F.col("v").alias("vv"),
+        F.col("u").alias("uu"),
+        F.col("cost").alias("pc_raw"),
+    )
+    stepf = nb.join(pc_final, ["vv", "uu"], "left").withColumn(
+        "prev_cost", F.coalesce(F.col("pc_raw"), F.lit(float(iters - 1)))
+    )
+    neighbour_argmins = (
+        stepf.withColumn(
+            "nb_cost",
+            (1 - lam) * delta_plus(prox_v, prox_u)
+            + lam * (F.lit(1.0) - w_n + F.col("prev_cost")),
+        )
+        .withColumn("uu_s", F.coalesce(F.col("uu"), F.lit(-1)))
+        .groupBy("v", "u", "vv")
+        .agg(F.min(F.struct(F.col("nb_cost"), F.col("uu_s"))).alias("m"))
+        .select("v", "u", "vv", F.col("m.uu_s").alias("uu"))
+        .filter(F.col("uu") >= 0)
+        .persist()
+    )
+    neighbour_argmins.count()
     nb.unpersist()
+    if prev_opt is not None:
+        prev_opt.unpersist()
     # V15: normalize by iteration count
     final_costs = prev_costs.select(
         "v", "u", (F.col("cost") / F.lit(float(iters))).alias("cost")
@@ -167,4 +226,5 @@ def nema_match(
         inference_costs=final_costs,
         optimal_match=_optimal(final_costs),
         iters=iters,
+        neighbour_argmins=neighbour_argmins,
     )
