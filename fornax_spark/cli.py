@@ -17,6 +17,9 @@ Subcommands:
                  a layout/corpus mismatch wipes the store and rebuilds)
     query       --index PATH --q "terms"     top-k via block-max kernel
                 [--k 10] [--exhaustive]
+    delete      --index PATH --ids FILE      live tombstone delete (one
+                                             doc_id per line); queries
+                                             exclude the docs immediately
     merge       --out PATH store1 store2...  LSM compaction
                 [--tombstones FILE]          (one doc_id per line)
 """
@@ -53,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--exhaustive", action="store_true")
+
+    d = sub.add_parser("delete")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True)
 
     m = sub.add_parser("merge")
     m.add_argument("--out", required=True)
@@ -114,6 +121,23 @@ def main(argv: list[str] | None = None) -> int:
                         {"rank": r["rank"], "doc_id": r["doc_id"], "score": r["score"]}
                         for r in rows
                     ],
+                }
+            )
+        )
+
+    elif args.cmd == "delete":
+        from .fulltext.deletes import delete_docs
+        from .fulltext.segments import open_segments
+
+        with open(args.ids) as f:
+            ids = [int(line) for line in f if line.strip()]
+        t = delete_docs(spark, open_segments(args.index), ids)
+        print(
+            json.dumps(
+                {
+                    "tombstoned": len(t.doc_ids),
+                    "docs_removed": t.n_deleted,
+                    "n_docs_effective": t.n_docs_new,
                 }
             )
         )

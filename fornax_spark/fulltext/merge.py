@@ -75,10 +75,21 @@ def merge_stores(
     deleted_doc_ids: list[int] | None = None,
     block_size: int = codec.BLOCK_SIZE,
 ) -> SegmentStore:
-    """Merge stores (disjoint doc sets) minus tombstones into out_path."""
+    """Merge stores (disjoint doc sets) minus tombstones into out_path.
+
+    Tombstones = explicit `deleted_doc_ids` plus every input store's own
+    live-delete manifest (deletes.delete_docs) — a merge physically
+    drops the masked postings and the merged store starts clean."""
+    from .deletes import load_tombstones
+
     n_buckets = stores[0].n_buckets
     assert all(s.n_buckets == n_buckets for s in stores), "bucket layout must match"
-    tomb = sorted(set(int(x) for x in (deleted_doc_ids or [])))
+    tomb_set = set(int(x) for x in (deleted_doc_ids or []))
+    for s in stores:
+        t = load_tombstones(s)
+        if t is not None:
+            tomb_set.update(int(x) for x in t.doc_ids)
+    tomb = sorted(tomb_set)
 
     all_blocks = None
     for s in stores:

@@ -80,6 +80,7 @@ def _score_one_query(
     n_docs: int,
     avgdl: float,
     decode,
+    tomb=None,
 ):
     """MaxScore-pruned scoring of ONE query against one bucket's blocks.
 
@@ -98,8 +99,33 @@ def _score_one_query(
     # term-rank in ASCENDING term-string order = the float-sum order
     rank_of = {t: i for i, t in enumerate(present)}
     # per-term max contribution (U_t) from block-max metadata;
-    # process order: descending U_t (deterministic tiebreak by term)
-    u = {t: max(r.block_max for r in by_term[t]) for t in present}
+    # process order: descending U_t (deterministic tiebreak by term).
+    # With tombstones the stored block_max is stale (idf rises when df
+    # drops; the tf component rises if avgdl grows) — scale by the idf
+    # ratio and max(1, avgdl'/avgdl) to keep U_t a valid upper bound
+    # (deletes.py module docstring).
+    if tomb is None:
+        u = {t: max(r.block_max for r in by_term[t]) for t in present}
+        df_of = {t: int(by_term[t][0].df) for t in present}
+    else:
+        u, df_of = {}, {}
+        avgdl_slack = (
+            max(1.0, tomb.avgdl_new / tomb.avgdl_old) if tomb.avgdl_old else 1.0
+        )
+        for t in present:
+            df_old = int(by_term[t][0].df)
+            df_new = max(df_old - int(tomb.df_deltas.get(t, 0)), 0)
+            if df_new == 0:
+                continue  # every posting of t is tombstoned
+            df_of[t] = df_new
+            ratio = float(
+                bm25.idf(np.array([df_new]), n_docs)[0]
+                / bm25.idf(np.array([df_old]), tomb.n_docs_old)[0]
+            )
+            u[t] = max(r.block_max for r in by_term[t]) * ratio * avgdl_slack
+        present = [t for t in present if t in u]
+        if not present:
+            return None
     order = sorted(present, key=lambda t: (-u[t], t))
     uarr = np.array([u[t] for t in order])
     suffix_ub = np.concatenate([np.cumsum(uarr[::-1])[::-1], [0.0]])
@@ -124,6 +150,11 @@ def _score_one_query(
                 if lo == hi:
                     continue
             docs, tf, dl = decode(t, row)
+            if tomb is not None and len(tomb.doc_ids):
+                alive = ~np.isin(docs, tomb.doc_ids, assume_unique=True)
+                if not alive.any():
+                    continue
+                docs, tf, dl = docs[alive], tf[alive], dl[alive]
             if not open_admission:
                 m = np.isin(docs, acc_docs, assume_unique=True)
                 if not m.any():
@@ -136,7 +167,7 @@ def _score_one_query(
             docs = np.concatenate(d_parts)
             tf = np.concatenate(tf_parts)
             dl = np.concatenate(dl_parts)
-            df_t = int(rows[0].df)
+            df_t = df_of[t]
             contrib = bm25.term_score(
                 tf, dl, np.full(len(tf), df_t), n_docs, avgdl
             )
@@ -195,14 +226,14 @@ def _make_decode_cache():
     return decode
 
 
-def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float):
+def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float, tomb=None):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []})
         by_term = _group_blocks_by_term(pdf)
         res = _score_one_query(
             by_term, list(by_term), k, prune, n_docs, avgdl,
-            _make_decode_cache(),
+            _make_decode_cache(), tomb,
         )
         if res is None:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -213,7 +244,8 @@ def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float):
 
 
 def _score_bucket_kernel_batch(
-    queries: list[tuple[int, list[str], int]], prune: bool, n_docs: int, avgdl: float
+    queries: list[tuple[int, list[str], int]], prune: bool, n_docs: int,
+    avgdl: float, tomb=None,
 ):
     """Batched variant: score every query in one pass per bucket through
     the SAME MaxScore-pruned routine as the single-query path, sharing
@@ -229,7 +261,7 @@ def _score_bucket_kernel_batch(
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in queries:
             res = _score_one_query(
-                by_term, terms, k, prune, n_docs, avgdl, decode
+                by_term, terms, k, prune, n_docs, avgdl, decode, tomb
             )
             if res is None:
                 continue
@@ -248,6 +280,18 @@ def _score_bucket_kernel_batch(
         )
 
     return kernel
+
+
+def _store_tombstones(store: SegmentStore):
+    """(tombstones-or-None, effective n_docs, effective avgdl): deleted
+    docs (deletes.delete_docs) are masked at query time with EXACT
+    shifted corpus statistics — results equal a rebuild without them."""
+    from .deletes import load_tombstones
+
+    tomb = load_tombstones(store)
+    if tomb is None or not len(tomb.doc_ids):
+        return None, store.n_docs, store.avgdl
+    return tomb, tomb.n_docs_new, tomb.avgdl_new
 
 
 def search_segments_batch(
@@ -276,7 +320,8 @@ def search_segments_batch(
             [], "query_id long, rank int, doc_id long, score double"
         )
     blocks = store.blocks(spark).filter(F.col("term").isin(sorted(all_terms)))
-    kern = _score_bucket_kernel_batch(qs, prune, store.n_docs, store.avgdl)
+    tomb, n_docs, avgdl = _store_tombstones(store)
+    kern = _score_bucket_kernel_batch(qs, prune, n_docs, avgdl, tomb)
     per_bucket = blocks.groupBy("bucket").applyInPandas(
         kern, "query_id long, doc_id long, score double"
     )
@@ -311,7 +356,8 @@ def search_segments(
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
     blocks = store.blocks(spark).filter(F.col("term").isin(terms))
-    kern = _score_bucket_kernel(k, prune, store.n_docs, store.avgdl)
+    tomb, n_docs, avgdl = _store_tombstones(store)
+    kern = _score_bucket_kernel(k, prune, n_docs, avgdl, tomb)
     per_bucket = blocks.groupBy("bucket").applyInPandas(kern, _OUT_SCHEMA)
     topk = per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     from pyspark.sql import Window

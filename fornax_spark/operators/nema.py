@@ -75,6 +75,7 @@ def nema_match(
     lam: float = 0.3,
     max_iters: int = 10,
     stable_frac: float = 0.9,
+    validate: bool = True,
 ) -> NemaResult:
     """Iterative NeMa cost refinement.
 
@@ -82,7 +83,19 @@ def nema_match(
     user-supplied label-similarity candidates (weights in (0,1]) — the
     engine never computes label similarity itself, preserving the
     reference's contract (/root/reference/docs/api.rst:63-66).
+
+    validate=True raises on malformed input (self-loop edges, weights
+    outside (0, 1], nulls) before any refinement work, mirroring the
+    reference's handle-level IntegrityErrors (api.py:515-543, 753-798).
     """
+    if validate:
+        from .validate import check_or_raise, validate_edges, validate_matches
+
+        check_or_raise(
+            validate_edges(query_edges),
+            validate_edges(target_edges),
+            validate_matches(matches),
+        )
     qh = hhop_neighbours(undirect_edges(query_edges), h)
     th = hhop_neighbours(undirect_edges(target_edges), h)
     nb = match_neighbourhood_join(matches, qh, th).persist()
