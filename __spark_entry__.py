@@ -490,6 +490,40 @@ def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: JSON metadata round-trip. A `props` JSON column is built with
+    format_string (byte-identical construction in the DuckDB oracle),
+    then decoded BOTH ways the engine supports — typed from_json
+    (operators/jsonmeta.unpack_meta) and JSONPath get_json_object
+    (meta_field) — and the extracted fields are aggregated per lang.
+    Reference behavior: json.loads round-trip of every row's meta
+    (/root/reference/fornax/api.py:805-867)."""
+    from fornax_spark.operators.jsonmeta import meta_field, unpack_meta
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "props",
+        F.format_string(
+            '{"lang":"%s","n_chars":%d,"source":"%s"}',
+            F.col("lang"), F.col("n_chars"), F.col("source"),
+        ),
+    )
+    typed = unpack_meta(
+        docs.select("doc_id", "props"),
+        "lang string, n_chars long, source string",
+        meta_col="props",
+        prefix="m_",
+    )
+    return (
+        typed.withColumn("src_path", meta_field("props", "$.source"))
+        .groupBy(F.col("m_lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m_n_chars").alias("chars"),
+            F.countDistinct("src_path").alias("n_sources"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # subgraph matching (the reference's flagship product)
 # ---------------------------------------------------------------------------
@@ -582,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
+        "json_meta_extract": q_json_meta_extract,
     }
 
 
@@ -872,6 +907,21 @@ def oracle_sql() -> dict[str, str]:
                  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         ) WHERE cosine >= 0.9
+    """
+
+    sqls["json_meta_extract"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 '{"lang":"' || lang || '","n_chars":' || n_chars
+                   || ',"source":"' || source || '"}' AS props
+          FROM documents
+        )
+        SELECT json_extract_string(props, '$.lang') AS lang,
+               count(*)::BIGINT AS n,
+               sum(json_extract(props, '$.n_chars')::BIGINT)::BIGINT AS chars,
+               count(DISTINCT json_extract_string(props, '$.source'))::BIGINT
+                 AS n_sources
+        FROM p GROUP BY 1
     """
 
     # Golden-constant oracle for the fixed figure-4 fixture. The values

@@ -188,6 +188,40 @@ def test_embedding_near_dup_pairs_multi_table(spark):
     assert out.count() == out.select("id_a", "id_b").distinct().count()
 
 
+def test_json_meta_roundtrip(spark):
+    """pack_meta -> unpack_meta is lossless for the declared schema;
+    meta_field extracts by JSONPath; malformed JSON yields NULLs
+    (reference json.loads round-trip, api.py:805-867)."""
+    from fornax_spark.operators.jsonmeta import (
+        meta_field,
+        pack_meta,
+        unpack_meta,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "en", 120), (2, "fr", 7), (3, None, 0)],
+        "id long, lang string, n long",
+    )
+    packed = pack_meta(df, ["lang", "n"], out="meta")
+    back = unpack_meta(
+        packed.select("id", "meta"), "lang string, n long", prefix="r_"
+    )
+    got = sorted(
+        (r["id"], r["r_lang"], r["r_n"]) for r in back.collect()
+    )
+    assert got == [(1, "en", 120), (2, "fr", 7), (3, None, 0)]
+    # JSONPath single-field extraction
+    one = packed.filter(F.col("id") == 1).select(
+        meta_field("meta", "$.lang").alias("lang")
+    ).collect()[0]
+    assert one["lang"] == "en"
+    # malformed JSON -> NULL fields, no error
+    bad = spark.createDataFrame([("{oops",)], "meta string")
+    r = unpack_meta(bad, "lang string", prefix="x_").collect()[0]
+    assert r["x_lang"] is None
+
+
 def test_textstats_kernels(spark, docs_df):
     from fornax_spark.operators.textstats import (
         fingerprints,
