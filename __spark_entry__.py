@@ -380,9 +380,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fornax_spark.operators.dedup import exact_dedup_groups
+    # the hashed SCALE path (8-byte shuffle keys, documents never move);
+    # the oracle groups by text — equal output unless both 64-bit hashes
+    # collide (~2^-64/pair). Text-grouped == hash-grouped is also a
+    # pytest invariant (tests/test_operators.py).
+    from fornax_spark.operators.dedup import exact_dedup_groups_hashed
 
-    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+    return exact_dedup_groups_hashed(_t(spark, sf_dir, "documents")).select(
+        "keep_id", "n_dups"
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

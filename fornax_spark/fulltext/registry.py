@@ -1,0 +1,100 @@
+"""Multi-corpus registry (S2): many named index stores under one root,
+with auto-assigned ids and cascading delete.
+
+The reference namespaces many graphs/queries inside one database with
+auto-increment ids (/root/reference/fornax/api.py:289-310) and deletes
+them with cascading statements (api.py:327-345,637-647). The Spark
+analogue: a catalog file mapping id/name -> store directory; delete
+removes the catalog row AND the store's segments/ledger/tombstones
+(everything under its directory) in one call.
+
+Catalog writes are atomic (tmp + rename), same discipline as the
+segment ledger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from .segments import SegmentStore, open_segments
+
+CATALOG_FILE = "catalog.json"
+
+
+class Registry:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- catalog io ---------------------------------------------------
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, CATALOG_FILE)
+
+    def _load(self) -> dict:
+        p = self._catalog_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"next_id": 1, "corpora": {}}
+
+    def _save(self, cat: dict) -> None:
+        tmp = self._catalog_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cat, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._catalog_path())
+
+    # -- api ----------------------------------------------------------
+    def create(self, name: str | None = None) -> tuple[int, str]:
+        """Reserve a corpus slot: returns (auto id, store path to build
+        into). Name defaults to corpus<id>; duplicate names are
+        rejected (the reference's unique graph ids)."""
+        cat = self._load()
+        cid = cat["next_id"]
+        name = name or f"corpus{cid}"
+        if any(c["name"] == name for c in cat["corpora"].values()):
+            raise ValueError(f"corpus name already registered: {name!r}")
+        path = os.path.join(self.root, f"store_{cid:06d}")
+        cat["corpora"][str(cid)] = {"name": name, "path": path}
+        cat["next_id"] = cid + 1
+        self._save(cat)
+        return cid, path
+
+    def _resolve(self, key: int | str) -> tuple[str, dict]:
+        cat = self._load()
+        if isinstance(key, int) or str(key).isdigit():
+            k = str(int(key))
+            if k in cat["corpora"]:
+                return k, cat
+        for k, c in cat["corpora"].items():
+            if c["name"] == key:
+                return k, cat
+        raise KeyError(f"no corpus {key!r} in registry {self.root}")
+
+    def open(self, key: int | str) -> SegmentStore:
+        k, cat = self._resolve(key)
+        return open_segments(cat["corpora"][k]["path"])
+
+    def list(self) -> list[dict]:
+        cat = self._load()
+        out = []
+        for k in sorted(cat["corpora"], key=int):
+            c = cat["corpora"][k]
+            row = {"corpus_id": int(k), "name": c["name"], "path": c["path"]}
+            ledger_p = os.path.join(c["path"], "ledger.json")
+            if os.path.exists(ledger_p):
+                with open(ledger_p) as f:
+                    stats = json.load(f).get("stats") or {}
+                row["n_docs"] = stats.get("n_docs")
+            out.append(row)
+        return out
+
+    def delete(self, key: int | str) -> None:
+        """Cascading delete: catalog row + the whole store directory
+        (segments, ledger, tombstones)."""
+        k, cat = self._resolve(key)
+        path = cat["corpora"][k]["path"]
+        del cat["corpora"][k]
+        self._save(cat)
+        shutil.rmtree(path, ignore_errors=True)

@@ -33,12 +33,9 @@ from .textstats import tokens_col
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One row per distinct text: (keep_id = min id, n_dups).
-
-    At scale: group on xxhash64(text) (8-byte shuffle key) and resolve
-    rare collisions with a second exact pass; here the text itself is
-    grouped so the DuckDB oracle is trivial.
-    """
+    """One row per distinct text: (keep_id = min id, n_dups), grouping
+    on the TEXT itself — the semantic baseline the DuckDB oracle and the
+    hashed scale path are checked against."""
     return (
         df.groupBy(F.col(text_col))
         .agg(
@@ -49,9 +46,33 @@ def exact_dedup_groups(
     )
 
 
+def exact_dedup_groups_hashed(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scale-default exact dedup: group on xxhash64(text) so the shuffle
+    carries 8-byte keys + tiny partials instead of full documents (at
+    100 TB the document bytes never move). A second independent 64-bit
+    hash (seed 7) is counted per group as a collision canary —
+    `hash_pure` is false iff two DIFFERENT texts collided under BOTH
+    hashes' grouping key (first-hash collision), a ~2^-64 event per
+    pair; callers can assert or route impure groups to an exact pass.
+    Output: (keep_id, n_dups, hash_pure)."""
+    t = F.col(text_col)
+    return (
+        df.groupBy(F.xxhash64(t).alias("h"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            (F.countDistinct(F.xxhash64(t, F.lit(7))) == 1).alias("hash_pure"),
+        )
+        .select("keep_id", "n_dups", "hash_pure")
+    )
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep exactly one doc per distinct text (the min id)."""
-    keep = exact_dedup_groups(df, id_col, text_col).select(
+    """Keep exactly one doc per distinct text (the min id); hash-grouped
+    (the scale path)."""
+    keep = exact_dedup_groups_hashed(df, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, id_col, "left_semi")

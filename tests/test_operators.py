@@ -32,6 +32,23 @@ def test_exact_dedup(spark, docs_df):
     assert kept == [1, 3, 4, 5, 6]
 
 
+def test_exact_dedup_hashed_equals_text_grouped(spark, docs_df):
+    """The hashed scale path (8-byte shuffle keys) must equal the
+    text-grouped baseline, with every group hash-pure."""
+    from fornax_spark.operators.dedup import (
+        exact_dedup_groups,
+        exact_dedup_groups_hashed,
+    )
+
+    base = sorted(
+        (r["keep_id"], r["n_dups"])
+        for r in exact_dedup_groups(docs_df).collect()
+    )
+    hashed = exact_dedup_groups_hashed(docs_df).collect()
+    assert all(r["hash_pure"] for r in hashed)
+    assert sorted((r["keep_id"], r["n_dups"]) for r in hashed) == base
+
+
 def test_ngram_jaccard(spark, docs_df):
     from fornax_spark.operators.dedup import ngram_jaccard_pairs
 
