@@ -2,8 +2,9 @@
 query job at two parallelism levels (local[8] vs local[32] — the
 sandbox stand-in for N vs 4N executors), on identical input.
 
-Usage:  python bench/scaling.py [--docs 30000]
-Writes: BENCH.md (scaling table) and prints one JSON line.
+Usage:  python bench/scaling.py [--docs 30000] [--low 8] [--high 32]
+Writes: bench/scaling_<low>_<high>.json and prints one JSON line
+(BENCH.md is hand-curated from these).
 
 Each level runs in a FRESH subprocess (own JVM) so nothing is shared
 but the on-disk corpus. Timed sections exclude session startup and
@@ -58,7 +59,7 @@ n_postings = idx.postings.count()
 
 seg_dir = %(seg)r + str(cores)
 t0 = time.time()
-store = build_segments(spark, idx, seg_dir, n_buckets=64, group_size=64)
+store = build_segments(spark, idx, seg_dir, n_buckets=64)
 seg_secs = time.time() - t0
 
 queries = reference_queries()
@@ -138,34 +139,12 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(
-            f"""# BENCH — measured performance (this repo)
-
-## Scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N)
-
-Sandbox has no real cluster; per driver instruction the evidence is the
-SAME job at two parallelism levels on identical input (fresh JVM each):
-`local[{args.low}]` vs `local[{args.high}]`, {args.docs:,} synthetic pages
-(schema per BASELINE.json input_hint), html->extract->tokenize->postings->
-compressed segments, then the 50-query reference set (batched).
-
-| metric | local[{args.low}] | local[{args.high}] | speedup | efficiency vs {ratio:.0f}x cores |
-|---|---|---|---|---|
-| index build docs/sec | {lo['docs_per_sec']} | {hi['docs_per_sec']} | {hi['docs_per_sec']/lo['docs_per_sec']:.2f}x | **{eff_build:.2f}** |
-| index build postings/sec | {lo['postings_per_sec']} | {hi['postings_per_sec']} | {hi['postings_per_sec']/lo['postings_per_sec']:.2f}x | {eff_build:.2f} |
-| segment encode docs/sec | {lo['segment_docs_per_sec']} | {hi['segment_docs_per_sec']} | {hi['segment_docs_per_sec']/lo['segment_docs_per_sec']:.2f}x | {eff_seg:.2f} |
-| query QPS (50-query batch) | {lo['qps']} | {hi['qps']} | {hi['qps']/lo['qps']:.2f}x | {eff_qps:.2f} |
-
-Raw: low={json.dumps(lo)}
-high={json.dumps(hi)}
-
-Interpretation: the build path is embarrassingly parallel (narrow maps +
-near-unique-key shuffles); query batches are bounded by per-stage
-scheduling overhead at this corpus size, so QPS efficiency understates
-what a 4x-larger corpus would show.
-"""
-        )
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"scaling_{args.low}_{args.high}.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -39,16 +39,14 @@ def blocks_to_postings(blocks: DataFrame) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            terms, docs, tfs, dls = [], [], [], []
+            terms, ns, docs, tfs, dls = [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 n = int(r.n)
-                d = codec.delta_decode_docids(bytes(r.doc_blob), n)
-                tf = codec.decode_counts(bytes(r.tf_blob), n)
-                dl = codec.decode_counts(bytes(r.dl_blob), n)
-                terms.append(np.full(n, r.term, dtype=object))
-                docs.append(d)
-                tfs.append(tf)
-                dls.append(dl)
+                docs.append(codec.delta_decode_docids(bytes(r.doc_blob), n))
+                tfs.append(codec.decode_counts(bytes(r.tf_blob), n))
+                dls.append(codec.decode_counts(bytes(r.dl_blob), n))
+                terms.append(r.term)
+                ns.append(n)
             if not terms:
                 yield pd.DataFrame(
                     {"term": [], "doc_id": [], "tf": [], "dl": []}
@@ -56,7 +54,12 @@ def blocks_to_postings(blocks: DataFrame) -> DataFrame:
                 continue
             yield pd.DataFrame(
                 {
-                    "term": np.concatenate(terms),
+                    # one repeat over the whole Arrow batch — the per-
+                    # block python work is just the blob decode calls
+                    "term": np.repeat(
+                        np.asarray(terms, dtype=object),
+                        np.asarray(ns, dtype=np.int64),
+                    ),
                     "doc_id": np.concatenate(docs),
                     "tf": np.concatenate(tfs),
                     "dl": np.concatenate(dls),

@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is REAL and tested: schemas, Arrow batch shapes,
-mapInPandas iterators, partition sizing. The codec step (actual
-JPEG/PNG/audio decode) is STUBBED — the decode libraries are not in this
-container — behind `decoder=` hooks: the default deterministic fake
-decoder lets tests pin the full pipeline shape; passing a real decoder
-(PIL/torchaudio/ffmpeg) is a one-liner swap in production.
+mapInPandas iterators, partition sizing. The image decode step is REAL
+too (round 2): PNG and uncompressed BMP decode pure-stdlib in
+operators/imagecodec.py (zlib + numpy), and the synthetic asset table
+carries genuine PNG payloads. Formats needing external codec libraries
+(JPEG, audio, video) stay behind the pluggable `decoder=` hook — the
+deterministic fake decoder documents that contract; swapping in
+PIL/torchaudio/ffmpeg is a one-liner in production.
 
 Schema convention (the multimodal analogue of the pages table):
     assets(asset_id long, kind string, payload binary,
@@ -64,15 +66,22 @@ def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def image_features(
     assets: DataFrame,
-    decoder: Callable[[bytes, int, int], np.ndarray] = fake_decode_image,
+    decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
     resize_to: tuple[int, int] = (8, 8),
 ) -> DataFrame:
     """Decode -> resize (mean-pool) -> 192-dim float feature per image.
+
+    Default decoder: the real pure-stdlib PNG/BMP codec
+    (operators/imagecodec.decode_image).
 
     mapInPandas: one Arrow batch in, one out — the decoder runs inside
     the executor Python worker, vectorized per batch; output schema is
     fixed so downstream ANN (operators.similarity) composes directly.
     """
+    if decoder is None:
+        from .imagecodec import decode_image
+
+        decoder = decode_image
     rw, rh = resize_to
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,7 +106,15 @@ def image_features(
                 )
                 feats.append(pooled.ravel().tolist())
                 ids.append(r.asset_id)
-            yield pd.DataFrame({"asset_id": ids, "feature": feats})
+            # explicit dtypes: an empty batch (no image rows in this
+            # partition) would otherwise default feature to float64,
+            # which Arrow cannot cast to list<float>
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
 
     out_schema = T.StructType(
         [
@@ -130,7 +147,11 @@ def frame_sample(
                     idxs.append(fi)
                     frames.append(buf[start : start + frame_bytes])
             yield pd.DataFrame(
-                {"asset_id": ids, "frame_idx": idxs, "frame": frames}
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
             )
 
     out_schema = T.StructType(
@@ -144,18 +165,29 @@ def frame_sample(
 
 
 def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table for tests/benches."""
+    """Deterministic asset table for tests/benches. Image payloads are
+    REAL PNG bytes (pure-stdlib encoder, rotating through all five PNG
+    filter types so the decoder branches all run); video/audio payloads
+    stay opaque bytes for the stub-codec paths."""
+    from .imagecodec import encode_png
+
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         kind = ["image", "video", "audio"][i % 3]
-        payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8).tolist())
+        if kind == "image":
+            pixels = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+            payload = encode_png(pixels, filter_type=i % 5)
+            codec_name = "png"
+        else:
+            payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8).tolist())
+            codec_name = "fake"
         meta = {
             "width": 32,
             "height": 16,
             "sample_rate": 16000,
             "n_frames": 50,
-            "codec": "fake",
+            "codec": codec_name,
         }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
