@@ -55,6 +55,8 @@ def main() -> None:
         "simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "emb_similar_pairs",
+        "json_meta_extract",
     ]
     timings: dict[str, float] = {}
     # JVM/codegen warmup (not timed)

@@ -57,12 +57,23 @@ for rep in range(2):  # best-of-2: single-tenant box but noisy neighbors
 n_docs = idx.stats.n_docs
 n_postings = idx.postings.count()
 
-seg_dir = %(seg)r + str(cores)
-t0 = time.time()
-store = build_segments(spark, idx, seg_dir, n_buckets=64)
-seg_secs = time.time() - t0
+seg_secs = None  # best-of-2: the VM's wandering stall poisons single shots
+for rep in range(2):
+    seg_dir = %(seg)r + str(cores) + "_" + str(rep)
+    t0 = time.time()
+    store = build_segments(spark, idx, seg_dir, n_buckets=64)
+    secs = time.time() - t0
+    seg_secs = secs if seg_secs is None else min(seg_secs, secs)
 
-queries = reference_queries()
+import pandas as pd
+q1 = reference_queries()
+# 4x the reference set (fresh query ids): throughput measurement needs
+# enough work per stage that per-job scheduling overhead (constant in
+# cluster size) does not masquerade as poor scaling
+queries = pd.concat(
+    [q1.assign(query_id=q1["query_id"] + i * len(q1)) for i in range(4)],
+    ignore_index=True,
+)
 lat = []
 for _ in range(3):
     t0 = time.time()
@@ -79,7 +90,7 @@ print("RESULT " + json.dumps({
     "postings_per_sec": round(n_postings / build_secs, 1),
     "segment_build_secs": round(seg_secs, 2),
     "segment_docs_per_sec": round(n_docs / seg_secs, 1),
-    "query_batch50_secs": round(lat[0], 2),
+    "query_batch_secs": round(lat[0], 2),
     "qps": round(len(queries) / lat[0], 1),
 }))
 spark.stop()
@@ -119,10 +130,27 @@ def main() -> None:
     )
     subprocess.run([sys.executable, "-c", gen], check=True, timeout=3000)
 
-    lo = run_level(args.low, pages_path, os.path.join(workdir, "seg_lo_"))
-    hi = run_level(args.high, pages_path, os.path.join(workdir, "seg_hi_"))
-    print("LOW ", json.dumps(lo))
-    print("HIGH", json.dumps(hi))
+    # interleave the levels (low, high, low, high) and keep each level's
+    # best rep: the VM's throughput wanders over tens of minutes, so
+    # back-to-back single runs would compare different machine states
+    def best(a: dict, b: dict) -> dict:
+        keys = ["docs_per_sec", "postings_per_sec", "segment_docs_per_sec", "qps"]
+        out = dict(a)
+        for k in keys:
+            out[k] = max(a[k], b[k])
+        out["build_secs"] = min(a["build_secs"], b["build_secs"])
+        out["segment_build_secs"] = min(a["segment_build_secs"], b["segment_build_secs"])
+        out["query_batch_secs"] = min(a["query_batch_secs"], b["query_batch_secs"])
+        return out
+
+    lo = hi = None
+    for rep in range(2):
+        lo_r = run_level(args.low, pages_path, os.path.join(workdir, f"seg_lo{rep}_"))
+        hi_r = run_level(args.high, pages_path, os.path.join(workdir, f"seg_hi{rep}_"))
+        print(f"LOW[{rep}] ", json.dumps(lo_r))
+        print(f"HIGH[{rep}]", json.dumps(hi_r))
+        lo = lo_r if lo is None else best(lo, lo_r)
+        hi = hi_r if hi is None else best(hi, hi_r)
 
     ratio = args.high / args.low
     eff_build = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio

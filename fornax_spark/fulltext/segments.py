@@ -214,13 +214,19 @@ def encoded_blocks(
         O(parallelism x n_buckets).
     """
     p = (
-        idx.postings.join(F.broadcast(idx.term_stats), "term")
-        .withColumn("bucket", bucket_col(F.col("doc_id"), n_buckets))
+        idx.postings.withColumn(
+            "bucket", bucket_col(F.col("doc_id"), n_buckets)
+        )
         .filter(F.col("bucket").isin(buckets))
     )
     encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size)
     return (
         p.repartitionByRange(max(len(buckets), parallelism), "bucket", "term")
+        # broadcast-join df AFTER the exchange: BroadcastHashJoin is a
+        # narrow op that preserves the range partitioning, so df never
+        # rides the shuffle (the shuffle is the scaling bottleneck —
+        # every byte saved there is 1:1 off the critical path)
+        .join(F.broadcast(idx.term_stats), "term")
         .sortWithinPartitions("bucket", "term", "doc_id")
         .mapInPandas(encode, SEG_SCHEMA)
     )
