@@ -462,6 +462,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search(_ann_index(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
 
 
+_IVF_INDEX_CACHE: dict[str, object] = {}
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) ANN at FULL probe: scanning every
+    cluster makes the result exactly the brute-force top-k, so the
+    DuckDB oracle applies; the pruned-probe recall/cost trade is covered
+    in pytest (tests/test_operators.py)."""
+    from fornax_spark.operators.similarity import build_ivf_index, ivf_search
+
+    if sf_dir not in _IVF_INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        _IVF_INDEX_CACHE[sf_dir] = build_ivf_index(emb, dim=64, n_clusters=16)
+    return ivf_search(
+        _IVF_INDEX_CACHE[sf_dir], _query_vec(spark, sf_dir), k=10, nprobe=16
+    )
+
+
 def _emb_corpus_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ deterministic near-duplicates: every 5th vector gets
     a perturbed copy (v + 0.3 * roll(v, 1), cosine ~0.95-0.97 vs its
@@ -620,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
         "json_meta_extract": q_json_meta_extract,
@@ -896,6 +915,9 @@ def oracle_sql() -> dict[str, str]:
     # planted-duplicate construction as _emb_corpus_with_planted_dups
     # (DuckDB list indexing is 1-based; Spark's transform index is
     # 0-based — both roll the vector by one element)
+    # full-probe IVF == exact brute force, same oracle as cosine_topk
+    sqls["ann_ivf_topk"] = sqls["ann_cosine_topk"]
+
     sqls["emb_similar_pairs"] = """
         WITH e AS (
           SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v

@@ -256,6 +256,105 @@ def ann_topk_lsh(
     return ann_search(index, query_vec, k=k, multiprobe=1)
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN: k-means coarse quantizer -> cluster-pruned probe
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IvfIndex:
+    """Inverted-file ANN index: vectors assigned to their nearest
+    centroid (coarse k-means quantizer); a query probes only the
+    `nprobe` closest clusters.
+
+    Centroids are trained DRIVER-SIDE on a bounded sample (numpy,
+    deterministic seeded init + fixed Lloyd iterations — no RNG at
+    query time, no convergence nondeterminism), then shipped as a task
+    closure for the one-pass assignment. The assignment table is the
+    index: persisted in-session, cluster-keyed, so a probe is a
+    predicate-pushed scan of ~nprobe/k of the corpus plus an exact
+    re-rank. nprobe == n_clusters degenerates to exact brute force —
+    which makes the operator DuckDB-oracle-checkable at full probe while
+    the recall/cost trade lives in tests."""
+
+    assignments: DataFrame  # (cluster int, id long, vec array)
+    centroids: np.ndarray  # (k, dim) float64
+
+    def unpersist(self) -> None:
+        self.assignments.unpersist()
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    return centroids
+
+
+def build_ivf_index(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    train_sample: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> IvfIndex:
+    sample_rows = (
+        df.select(vec_col).limit(train_sample).collect()
+    )  # bounded driver transfer: train_sample x dim floats
+    sample = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
+    k = min(n_clusters, len(sample))
+    centroids = _kmeans(sample, k, kmeans_iters, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (
+            (m**2).sum(axis=1)[:, None]
+            - 2.0 * (m @ centroids.T)
+            + (centroids**2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assignments = df.select(
+        assign_udf(F.col(vec_col)).alias("cluster"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+    )
+    if persist:
+        assignments = assignments.persist()
+    return IvfIndex(assignments=assignments, centroids=centroids)
+
+
+def ivf_search(
+    index: IvfIndex, query_vec: list[float], k: int = 10, nprobe: int = 4
+) -> DataFrame:
+    """Top-k by exact cosine over the `nprobe` clusters nearest the
+    query (driver-side centroid ranking — O(n_clusters x dim) numpy).
+    No UDF at query time: the probe is a pushed `cluster IN (...)`
+    filter over the assignment table."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = ((index.centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(c) for c in np.argsort(d)[:nprobe]]
+    cand = index.assignments.filter(F.col("cluster").isin(probes))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col("vec"), q) / (_norm(F.col("vec")) * _norm(q))
+    return (
+        cand.select(F.col("id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

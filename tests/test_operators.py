@@ -176,6 +176,40 @@ def test_ann_index_build_once_search_many(spark, tmp_path):
     index.unpersist()
 
 
+def test_ivf_index_full_probe_exact_and_pruned_recall(spark):
+    """IVF: full probe == brute-force top-k exactly; a pruned probe
+    keeps high recall on planted near-neighbors at a fraction of the
+    scan; assignments cover every vector exactly once."""
+    from fornax_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(11)
+    qv = rng.standard_normal(16)
+    qv /= np.linalg.norm(qv)
+    vecs = np.vstack(
+        [qv[None, :] + 0.25 * rng.standard_normal((10, 16)),
+         rng.standard_normal((190, 16))]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in qv]
+    index = build_ivf_index(df, dim=16, n_clusters=8)
+    # partition property: every vector in exactly one cluster
+    assert index.assignments.count() == 200
+    assert index.assignments.select("id").distinct().count() == 200
+    exact = [tuple(r) for r in cosine_topk(df, q, k=10).collect()]
+    full = [tuple(r) for r in ivf_search(index, q, k=10, nprobe=8).collect()]
+    assert full == exact
+    pruned = {r["id"] for r in ivf_search(index, q, k=10, nprobe=2).collect()}
+    assert len(pruned & {i for i, _c in exact}) >= 8
+    index.unpersist()
+
+
 def test_embedding_near_dup_pairs_multi_table(spark):
     """Multi-table LSH near-dup pairs: finds every planted duplicate
     (recall 1.0 on this fixture), output deduplicated across tables."""

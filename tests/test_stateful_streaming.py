@@ -1,0 +1,146 @@
+"""Stateful streaming sessionization (applyInPandasWithState):
+streamed closed sessions == batch sessionizer output over the same
+events, under forced one-file-per-micro-batch slicing."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "user_id long, ts timestamp, event_type string, value double"
+
+
+def _events():
+    """3 users, multiple sessions each, plus a far-future sentinel per
+    user that forces every REAL session closed via the in-data gap path
+    (the sentinel's own session stays open and is never emitted)."""
+    t0 = datetime(2024, 1, 1, 0, 0)
+    rows = []
+    for u in range(3):
+        # session 1: 3 events 5 min apart
+        for i in range(3):
+            rows.append((u, t0 + timedelta(minutes=5 * i + u), "click", 1.0))
+        # session 2: starts 2h later, 2 events
+        for i in range(2):
+            rows.append(
+                (u, t0 + timedelta(hours=2, minutes=3 * i + u), "view", 2.0)
+            )
+        # session 3: single event 5h in
+        rows.append((u, t0 + timedelta(hours=5, minutes=u), "click", 0.5))
+        # sentinel: far future, closes session 3
+        rows.append((u, t0 + timedelta(days=30), "flush", 0.0))
+    return rows
+
+
+def test_streamed_sessions_equal_batch(spark, tmp_path):
+    from fornax_spark.operators.sessions import sessionize
+    from fornax_spark.streaming.stateful import sessionize_stream
+
+    rows = sorted(_events(), key=lambda r: r[1])
+    # slice into 4 time-contiguous chunks = 4 micro-batches (streams
+    # deliver roughly time-ordered data; the watermark bounds disorder —
+    # a gap sessionizer is not defined under arbitrary time travel)
+    src = tmp_path / "events_src"
+    src.mkdir()
+    step = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * step : (i + 1) * step]
+        if chunk:
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"part{i}")
+            )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, use_timeout=False)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch ground truth over the REAL events (sentinels excluded: their
+    # sessions are still open in the stream)
+    batch_df = spark.createDataFrame(
+        [r for r in rows if r[2] != "flush"], SCHEMA
+    )
+    want = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"],
+            r["start_us"],
+            r["end_us"],
+        )
+        for r in sessionize(batch_df, gap_minutes=30)
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 9  # 3 users x 3 real sessions
+
+
+def test_event_time_timeout_closes_idle_sessions(spark, tmp_path):
+    """A user with no further events still gets their session emitted
+    once ANOTHER user's events push the watermark past the idle
+    deadline — the event-time-timeout path."""
+    from datetime import datetime, timedelta
+
+    from fornax_spark.streaming.stateful import sessionize_stream
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "c", 1.0),
+        (0, t0 + timedelta(minutes=5), "c", 1.0),  # user 0 goes idle
+        (1, t0 + timedelta(hours=2), "c", 1.0),
+        (1, t0 + timedelta(hours=9), "c", 1.0),  # watermark -> 8h
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, r in enumerate(rows):  # one event per micro-batch
+        spark.createDataFrame([r], SCHEMA).coalesce(1).write.parquet(
+            str(src / f"p{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p*"))
+    )
+    out = sessionize_stream(
+        stream, gap_minutes=30, watermark="1 hour", use_timeout=True
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("timeout_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM timeout_out").collect()
+    }
+    # user 0's only session closed by TIMEOUT (they never spoke again);
+    # user 1's first session closed by their own later event
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 1
