@@ -9,7 +9,8 @@ blocks. Queries must stay EXACT (== a rebuild without the docs), so
 BM25's corpus statistics have to shift too; one distributed pass over
 the store at delete time collects everything needed:
 
-  * per-term df deltas (#deleted docs among the term's postings),
+  * per-term df deltas (#deleted docs among the term's postings,
+    keyed by the store's term_id),
   * the deleted docs' total dl and count (for n_docs / avgdl).
 
 Block-max metadata becomes stale under the shifted stats: deleting docs
@@ -111,7 +112,7 @@ def delete_docs(
                     if not k:
                         continue
                     dl = codec.decode_counts(bytes(r.dl_blob), n)
-                    terms.append(r.term)
+                    terms.append(str(int(r.term_id)))
                     cnts.append(k)
                     docs_out.append(docs[m])
                     dls_out.append(dl[m])
@@ -136,7 +137,7 @@ def delete_docs(
 
         scan_df = (
             store.blocks(spark)
-            .select("term", "n", "doc_blob", "dl_blob")
+            .select("term_id", "n", "doc_blob", "dl_blob")
             .mapInPandas(scan, "kind string, term string, doc_id long, val long")
             .persist()
         )

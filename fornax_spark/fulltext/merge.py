@@ -31,11 +31,14 @@ from . import codec
 from .build import CorpusStats, InvertedIndex
 from .segments import SegmentStore, _load_ledger, _save_ledger, build_segments
 
-_POSTINGS_SCHEMA = "term string, doc_id long, tf long, dl long"
+_ID_POSTINGS_SCHEMA = "term_id int, doc_id long, tf long, dl long"
 
 
-def blocks_to_postings(blocks: DataFrame) -> DataFrame:
-    """Decode segment blocks back into postings rows (narrow map)."""
+def blocks_to_postings(blocks: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Decode segment blocks back into postings rows (narrow map), then
+    restore term strings via the store's own dictionary (broadcast —
+    term ids are store-local; a merge across stores must go back to the
+    global key, the term string)."""
 
     def decode(batches):
         for pdf in batches:
@@ -45,19 +48,24 @@ def blocks_to_postings(blocks: DataFrame) -> DataFrame:
                 docs.append(codec.delta_decode_docids(bytes(r.doc_blob), n))
                 tfs.append(codec.decode_counts(bytes(r.tf_blob), n))
                 dls.append(codec.decode_counts(bytes(r.dl_blob), n))
-                terms.append(r.term)
+                terms.append(int(r.term_id))
                 ns.append(n)
             if not terms:
                 yield pd.DataFrame(
-                    {"term": [], "doc_id": [], "tf": [], "dl": []}
+                    {
+                        "term_id": pd.Series([], dtype="int32"),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "tf": pd.Series([], dtype="int64"),
+                        "dl": pd.Series([], dtype="int64"),
+                    }
                 )
                 continue
             yield pd.DataFrame(
                 {
                     # one repeat over the whole Arrow batch — the per-
                     # block python work is just the blob decode calls
-                    "term": np.repeat(
-                        np.asarray(terms, dtype=object),
+                    "term_id": np.repeat(
+                        np.asarray(terms, dtype=np.int32),
                         np.asarray(ns, dtype=np.int64),
                     ),
                     "doc_id": np.concatenate(docs),
@@ -66,9 +74,12 @@ def blocks_to_postings(blocks: DataFrame) -> DataFrame:
                 }
             )
 
-    return blocks.select(
-        "term", "n", "doc_blob", "tf_blob", "dl_blob"
-    ).mapInPandas(decode, _POSTINGS_SCHEMA)
+    ids = blocks.select(
+        "term_id", "n", "doc_blob", "tf_blob", "dl_blob"
+    ).mapInPandas(decode, _ID_POSTINGS_SCHEMA)
+    return ids.join(
+        F.broadcast(dictionary.select("term_id", "term")), "term_id"
+    ).select("term", "doc_id", "tf", "dl")
 
 
 def merge_stores(
@@ -94,12 +105,10 @@ def merge_stores(
             tomb_set.update(int(x) for x in t.doc_ids)
     tomb = sorted(tomb_set)
 
-    all_blocks = None
+    postings = None
     for s in stores:
-        b = s.blocks(spark)
-        all_blocks = b if all_blocks is None else all_blocks.unionByName(b)
-
-    postings = blocks_to_postings(all_blocks)
+        p = blocks_to_postings(s.blocks(spark), s.dictionary(spark))
+        postings = p if postings is None else postings.unionByName(p)
     if tomb:
         postings = postings.filter(~F.col("doc_id").isin(tomb))
     postings = postings.persist()

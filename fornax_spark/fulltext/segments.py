@@ -46,12 +46,34 @@ from . import bm25, codec
 from .build import InvertedIndex
 
 SEG_SCHEMA = (
-    "bucket int, term string, block_id int, n int, df long, "
+    "bucket int, term_id int, block_id int, n int, df long, "
     "first_doc long, last_doc long, block_max double, "
     "doc_blob binary, tf_blob binary, dl_blob binary"
 )
 
+#: ledger format version — bumped when the on-disk layout changes so the
+#: resume-mismatch check wipes stores written by an older code version
+STORE_FORMAT = 2
+
 _SIGN_BIT = -(1 << 63)  # XOR with this == order-preserving bias to uint64
+
+
+def build_dictionary(term_stats: DataFrame) -> DataFrame:
+    """Term dictionary: (term string, term_id int, df long) with ids
+    assigned by ascending term — term_id order IS term order, so every
+    ordering contract downstream (block sort, float-sum rank order)
+    transfers to the 4-byte id unchanged.
+
+    Ids come from zipWithIndex over the sorted vocabulary: distributed
+    (per-partition counts + offsets, no single-task window), one pass,
+    deterministic. The postings themselves never ride this job — it is
+    vocabulary-sized."""
+    spark = term_stats.sparkSession
+    sorted_terms = term_stats.select("term", "df").orderBy("term")
+    rdd = sorted_terms.rdd.zipWithIndex().map(
+        lambda x: (x[0]["term"], int(x[1]), int(x[0]["df"]))
+    )
+    return spark.createDataFrame(rdd, "term string, term_id int, df long")
 
 
 def bucket_col(doc_id_col, n_buckets: int):
@@ -96,9 +118,9 @@ def _encoder(n_docs: int, avgdl: float, block_size: int):
                 carry = None
                 continue
             # trailing (possibly incomplete) group = contiguous suffix
-            # with the last row's (bucket, term)
+            # with the last row's (bucket, term_id)
             b = pdf["bucket"].to_numpy()
-            t = pdf["term"].to_numpy()
+            t = pdf["term_id"].to_numpy()
             last_b, last_t = b[-1], t[-1]
             in_tail = (b == last_b) & (t == last_t)
             # suffix start: first index from the end where in_tail flips
@@ -112,10 +134,10 @@ def _encoder(n_docs: int, avgdl: float, block_size: int):
             yield _encode_body(carry)
 
     def _encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["bucket", "term", "doc_id"], kind="mergesort")
+        pdf = pdf.sort_values(["bucket", "term_id", "doc_id"], kind="mergesort")
         n = len(pdf)
         b = pdf["bucket"].to_numpy(np.int64)
-        terms = pdf["term"].to_numpy()
+        terms = pdf["term_id"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
@@ -139,7 +161,7 @@ def _encoder(n_docs: int, avgdl: float, block_size: int):
         return pd.DataFrame(
             {
                 "bucket": b[bs].astype(np.int32),
-                "term": terms[bs],
+                "term_id": terms[bs].astype(np.int32),
                 "block_id": (off_in_group[bs] // block_size).astype(np.int32),
                 "n": (be - bs).astype(np.int32),
                 "df": dfs[bs],
@@ -166,8 +188,30 @@ class SegmentStore:
     def data_path(self) -> str:
         return os.path.join(self.path, "segments")
 
+    @property
+    def dict_path(self) -> str:
+        return os.path.join(self.path, "dictionary")
+
     def blocks(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(SEG_SCHEMA).parquet(self.data_path)
+
+    def dictionary(self, spark: SparkSession) -> DataFrame:
+        """(term, term_id, df) — vocabulary-sized."""
+        return spark.read.schema("term string, term_id int, df long").parquet(
+            self.dict_path
+        )
+
+    def term_ids(self, spark: SparkSession, terms: list[str]) -> dict[str, int]:
+        """Query-term lookup: a pushed-filter scan of the dictionary
+        returning only the asked-for terms (missing = OOV)."""
+        if not terms:
+            return {}
+        rows = (
+            self.dictionary(spark)
+            .filter(F.col("term").isin(sorted(set(terms))))
+            .collect()
+        )
+        return {r["term"]: int(r["term_id"]) for r in rows}
 
 
 def _ledger_path(path: str) -> str:
@@ -192,6 +236,7 @@ def _save_ledger(path: str, ledger: dict) -> None:
 
 def encoded_blocks(
     idx: InvertedIndex,
+    dictionary: DataFrame,
     buckets: list[int],
     n_buckets: int,
     block_size: int,
@@ -200,34 +245,43 @@ def encoded_blocks(
     """The encode plan for one bucket group: postings -> posting blocks.
 
     Plan shape (guarded by tests/test_plans.py):
-      * term_stats is df-per-term: ~vocabulary-sized (50k rows at sf0.1,
-        low millions at web scale) — BROADCAST, so the postings (the
-        100 TB side) are never shuffled for the join; no SortMergeJoin.
+      * the term DICTIONARY (term -> 4-byte term_id + df; vocabulary-
+        sized) is BROADCAST — the postings (the 100 TB side) are never
+        shuffled for a join; no SortMergeJoin anywhere.
+      * the dictionary join happens BEFORE the exchange so the shuffle
+        carries (term_id int, doc_id, tf, dl, df, bucket) — no term
+        strings. The shuffle is the encode path's scaling bottleneck;
+        string keys cost both bytes and comparator time in the range
+        partitioner. (df could be re-attached after the exchange to
+        save another 8 B/row, but a second broadcast join costs more
+        CPU than those bytes save — measured.)
       * exactly ONE shuffle of the postings: the range repartition that
         IS the index layout. Parallelism is sized to the cluster, not
-        the bucket count — range partitioning by (bucket, term) keeps
-        every (bucket, term) encode group intact in one partition while
-        letting many tasks share a bucket, so a hot bucket no longer
-        caps concurrency. Range (not hash) partitioning also keeps each
+        the bucket count — range partitioning by (bucket, term_id)
+        keeps every encode group intact in one partition while letting
+        many tasks share a bucket, so a hot bucket no longer caps
+        concurrency; range (not hash) partitioning also keeps each
         task's rows inside 1-2 bucket dirs, so the partitionBy("bucket")
-        write emits O(parallelism + n_buckets) files instead of
-        O(parallelism x n_buckets).
+        write emits O(parallelism + n_buckets) files.
     """
     p = (
-        idx.postings.withColumn(
-            "bucket", bucket_col(F.col("doc_id"), n_buckets)
+        idx.postings.join(F.broadcast(dictionary), "term")
+        .select(
+            "term_id",
+            "doc_id",
+            "tf",
+            "dl",
+            "df",
+            bucket_col(F.col("doc_id"), n_buckets).alias("bucket"),
         )
         .filter(F.col("bucket").isin(buckets))
     )
     encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size)
     return (
-        p.repartitionByRange(max(len(buckets), parallelism), "bucket", "term")
-        # broadcast-join df AFTER the exchange: BroadcastHashJoin is a
-        # narrow op that preserves the range partitioning, so df never
-        # rides the shuffle (the shuffle is the scaling bottleneck —
-        # every byte saved there is 1:1 off the critical path)
-        .join(F.broadcast(idx.term_stats), "term")
-        .sortWithinPartitions("bucket", "term", "doc_id")
+        p.repartitionByRange(
+            max(len(buckets), parallelism), "bucket", "term_id"
+        )
+        .sortWithinPartitions("bucket", "term_id", "doc_id")
         .mapInPandas(encode, SEG_SCHEMA)
     )
 
@@ -258,15 +312,23 @@ def build_segments(
     os.makedirs(path, exist_ok=True)
     ledger = _load_ledger(path)
     stats_now = {"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl,
-                 "n_buckets": n_buckets, "block_size": block_size}
-    # Resume safety: a ledger written under a different layout or corpus
-    # must not be silently mixed with this run (stale bucket=N dirs from
-    # a wider layout would read back as valid blocks and corrupt query
-    # results). Wipe and rebuild from scratch on any mismatch.
+                 "n_buckets": n_buckets, "block_size": block_size,
+                 "format": STORE_FORMAT}
+    # Resume safety: a ledger written under a different layout, corpus or
+    # store format must not be silently mixed with this run (stale
+    # bucket=N dirs from a wider layout would read back as valid blocks
+    # and corrupt query results). Wipe and rebuild from scratch on any
+    # mismatch.
     if ledger["groups"] and ledger.get("stats") != stats_now:
         shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "dictionary"), ignore_errors=True)
         ledger = {"groups": {}, "stats": None}
     ledger["stats"] = stats_now
+
+    # term dictionary: written once per build (idempotent overwrite on
+    # resume — ids are deterministic for a given vocabulary)
+    dictionary = build_dictionary(idx.term_stats).persist()
+    dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
 
     groups = [
         list(range(g, min(g + group_size, n_buckets)))
@@ -279,11 +341,12 @@ def build_segments(
         if ledger["groups"].get(key, {}).get("status") == "done":
             continue
         if fail_after_groups is not None and done_groups >= fail_after_groups:
+            dictionary.unpersist()
             _save_ledger(path, ledger)
             raise RuntimeError(f"injected failure before group {key}")
         t0 = time.time()
         enc = encoded_blocks(
-            idx, buckets, n_buckets, block_size, parallelism
+            idx, dictionary, buckets, n_buckets, block_size, parallelism
         )
         out_dir = os.path.join(path, "segments")
         # idempotent per-group write: overwrite only this group's bucket dirs
@@ -337,6 +400,7 @@ def build_segments(
         )
     ledger["bytes_compressed_total"] = total_bytes
     _save_ledger(path, ledger)
+    dictionary.unpersist()
     return SegmentStore(
         path=path,
         n_docs=idx.stats.n_docs,

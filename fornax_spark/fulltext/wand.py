@@ -84,9 +84,11 @@ def _score_one_query(
 ):
     """MaxScore-pruned scoring of ONE query against one bucket's blocks.
 
-    by_term: term -> block rows (namedtuples) for this bucket.
-    decode: (term, row) -> (docs, tf, dl) — injectable so the batch path
-    can share a per-block decode cache across queries.
+    by_term: term_id -> block rows (namedtuples) for this bucket; term
+    ids are rank-of-sorted-term (segments.build_dictionary), so every
+    ascending-term ordering contract holds on the ints unchanged.
+    decode: (term_id, row) -> (docs, tf, dl) — injectable so the batch
+    path can share a per-block decode cache across queries.
     Returns (docs, scores) arrays or None if no term matches.
 
     Both the single-query and the batch kernel run THIS routine, so
@@ -114,7 +116,7 @@ def _score_one_query(
         )
         for t in present:
             df_old = int(by_term[t][0].df)
-            df_new = max(df_old - int(tomb.df_deltas.get(t, 0)), 0)
+            df_new = max(df_old - int(tomb.df_deltas.get(str(t), 0)), 0)
             if df_new == 0:
                 continue  # every posting of t is tombstoned
             df_of[t] = df_new
@@ -199,25 +201,25 @@ def _score_one_query(
     )
 
 
-def _group_blocks_by_term(pdf: pd.DataFrame) -> dict[str, list]:
-    """term -> block rows sorted by block_id (files of a bucket arrive in
-    arbitrary order; scores are order-free, but sorted blocks keep the
+def _group_blocks_by_term(pdf: pd.DataFrame) -> dict[int, list]:
+    """term_id -> block rows sorted by block_id (files of a bucket arrive
+    in arbitrary order; scores are order-free, but sorted blocks keep the
     fence skips sequential)."""
-    by_term: dict[str, list] = {}
+    by_term: dict[int, list] = {}
     for row in pdf.itertuples(index=False):
-        by_term.setdefault(row.term, []).append(row)
+        by_term.setdefault(int(row.term_id), []).append(row)
     for rows in by_term.values():
         rows.sort(key=lambda r: r.block_id)
     return by_term
 
 
 def _make_decode_cache():
-    """Per-block decode memo keyed by (term, block_id) — shared across
+    """Per-block decode memo keyed by (term_id, block_id) — shared across
     the queries of a batch so each block is decompressed at most once
     per bucket regardless of how many queries touch its term."""
-    cache: dict[tuple[str, int], tuple] = {}
+    cache: dict[tuple[int, int], tuple] = {}
 
-    def decode(t: str, row):
+    def decode(t: int, row):
         key = (t, int(row.block_id))
         if key not in cache:
             cache[key] = _decode_block(row)
@@ -309,17 +311,28 @@ def search_segments_batch(
     """
     from pyspark.sql import Window
 
-    qs = []
+    parsed = []
     all_terms: set[str] = set()
     for q in queries_pdf.itertuples(index=False):
         terms = sorted(set(tokenize(q.query_text)))
-        qs.append((int(q.query_id), terms, int(q.k)))
+        parsed.append((int(q.query_id), terms, int(q.k)))
         all_terms.update(terms)
     if not all_terms:
         return spark.createDataFrame(
             [], "query_id long, rank int, doc_id long, score double"
         )
-    blocks = store.blocks(spark).filter(F.col("term").isin(sorted(all_terms)))
+    # one dictionary lookup for the whole batch (term -> 4-byte id)
+    id_of = store.term_ids(spark, sorted(all_terms))
+    qs = [
+        (qid, sorted(id_of[t] for t in terms if t in id_of), k)
+        for qid, terms, k in parsed
+    ]
+    all_ids = sorted({i for _q, ids, _k in qs for i in ids})
+    if not all_ids:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    blocks = store.blocks(spark).filter(F.col("term_id").isin(all_ids))
     tomb, n_docs, avgdl = _store_tombstones(store)
     kern = _score_bucket_kernel_batch(qs, prune, n_docs, avgdl, tomb)
     per_bucket = blocks.groupBy("bucket").applyInPandas(
@@ -355,7 +368,10 @@ def search_segments(
     terms = sorted(set(tokenize(query_text)))
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
-    blocks = store.blocks(spark).filter(F.col("term").isin(terms))
+    ids = sorted(store.term_ids(spark, terms).values())
+    if not ids:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    blocks = store.blocks(spark).filter(F.col("term_id").isin(ids))
     tomb, n_docs, avgdl = _store_tombstones(store)
     kern = _score_bucket_kernel(k, prune, n_docs, avgdl, tomb)
     per_bucket = blocks.groupBy("bucket").applyInPandas(kern, _OUT_SCHEMA)

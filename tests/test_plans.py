@@ -38,10 +38,11 @@ def test_segment_build_broadcasts_term_stats(spark, docs):
     """The encode path must broadcast term_stats (never sort-merge join
     the postings) and shuffle the postings exactly once — the range
     repartition that IS the segment layout."""
-    from fornax_spark.fulltext.segments import encoded_blocks
+    from fornax_spark.fulltext.segments import build_dictionary, encoded_blocks
 
     idx = build_index_from_table(docs)
-    enc = encoded_blocks(idx, list(range(8)), 8, 128, parallelism=8)
+    d = build_dictionary(idx.term_stats)
+    enc = encoded_blocks(idx, d, list(range(8)), 8, 128, parallelism=8)
     plan = physical_plan(enc)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan

@@ -115,15 +115,15 @@ def test_resume_equals_clean(built, tmp_path):
 
     a = open_segments(clean).blocks(spark)
     b = open_segments(resumed).blocks(spark)
-    cols = ["bucket", "term", "block_id", "n", "df", "first_doc", "last_doc"]
+    cols = ["bucket", "term_id", "block_id", "n", "df", "first_doc", "last_doc"]
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
     # blob-level identity too (posting-for-posting)
     ab = {tuple(r[:3]): (bytes(r[3]), bytes(r[4]), bytes(r[5]))
-          for r in a.select("bucket", "term", "block_id", "doc_blob", "tf_blob", "dl_blob").collect()}
+          for r in a.select("bucket", "term_id", "block_id", "doc_blob", "tf_blob", "dl_blob").collect()}
     bb = {tuple(r[:3]): (bytes(r[3]), bytes(r[4]), bytes(r[5]))
-          for r in b.select("bucket", "term", "block_id", "doc_blob", "tf_blob", "dl_blob").collect()}
+          for r in b.select("bucket", "term_id", "block_id", "doc_blob", "tf_blob", "dl_blob").collect()}
     assert ab == bb
 
 
