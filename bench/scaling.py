@@ -67,9 +67,7 @@ for rep in range(2):
 
 import pandas as pd
 q1 = reference_queries()
-# 4x the reference set (fresh query ids): throughput measurement needs
-# enough work per stage that per-job scheduling overhead (constant in
-# cluster size) does not masquerade as poor scaling
+# 4x the reference set (fresh query ids): the round-1/2-comparable batch
 queries = pd.concat(
     [q1.assign(query_id=q1["query_id"] + i * len(q1)) for i in range(4)],
     ignore_index=True,
@@ -80,6 +78,23 @@ for _ in range(3):
     search_segments_batch(spark, store, queries).count()
     lat.append(time.time() - t0)
 lat.sort()
+
+# ~1000-query batch: ONE Spark job whose per-job scheduling floor
+# (constant in cluster size) is amortized ~12x further than the small
+# batch — this isolates whether poor small-batch QPS scaling is floor or
+# actual per-query work (the north-rule evidence the small batch can't
+# give)
+mult_1k = max(1, 1000 // len(q1))
+queries_1k = pd.concat(
+    [q1.assign(query_id=q1["query_id"] + i * len(q1)) for i in range(mult_1k)],
+    ignore_index=True,
+)
+lat1k = []
+for _ in range(2):
+    t0 = time.time()
+    search_segments_batch(spark, store, queries_1k).count()
+    lat1k.append(time.time() - t0)
+lat1k.sort()
 
 print("RESULT " + json.dumps({
     "cores": cores,
@@ -92,6 +107,9 @@ print("RESULT " + json.dumps({
     "segment_docs_per_sec": round(n_docs / seg_secs, 1),
     "query_batch_secs": round(lat[0], 2),
     "qps": round(len(queries) / lat[0], 1),
+    "n_queries_1k": len(queries_1k),
+    "query_batch1k_secs": round(lat1k[0], 2),
+    "qps_1k": round(len(queries_1k) / lat1k[0], 1),
 }))
 spark.stop()
 """
@@ -130,40 +148,52 @@ def main() -> None:
     )
     subprocess.run([sys.executable, "-c", gen], check=True, timeout=3000)
 
-    # interleave the levels (low, high, low, high) and keep each level's
-    # best rep: the VM's throughput wanders over tens of minutes, so
-    # back-to-back single runs would compare different machine states
-    def best(a: dict, b: dict) -> dict:
-        keys = ["docs_per_sec", "postings_per_sec", "segment_docs_per_sec", "qps"]
-        out = dict(a)
-        for k in keys:
-            out[k] = max(a[k], b[k])
-        out["build_secs"] = min(a["build_secs"], b["build_secs"])
-        out["segment_build_secs"] = min(a["segment_build_secs"], b["segment_build_secs"])
-        out["query_batch_secs"] = min(a["query_batch_secs"], b["query_batch_secs"])
-        return out
-
-    lo = hi = None
+    # interleave the levels (low, high, low, high): the VM's throughput
+    # wanders over tens of minutes, so back-to-back single runs would
+    # compare different machine states. ALL reps are published; each
+    # efficiency ratio uses the per-METRIC best across reps at each
+    # level (one metric per ratio — no cross-metric composition), and
+    # the aggregate rows are labeled best_per_metric, not presented as
+    # a single run no process produced.
+    lo_reps, hi_reps = [], []
     for rep in range(2):
         lo_r = run_level(args.low, pages_path, os.path.join(workdir, f"seg_lo{rep}_"))
         hi_r = run_level(args.high, pages_path, os.path.join(workdir, f"seg_hi{rep}_"))
         print(f"LOW[{rep}] ", json.dumps(lo_r))
         print(f"HIGH[{rep}]", json.dumps(hi_r))
-        lo = lo_r if lo is None else best(lo, lo_r)
-        hi = hi_r if hi is None else best(hi, hi_r)
+        lo_reps.append(lo_r)
+        hi_reps.append(hi_r)
 
+    rate_keys = [
+        "docs_per_sec", "postings_per_sec", "segment_docs_per_sec",
+        "qps", "qps_1k",
+    ]
+    sec_keys = ["build_secs", "segment_build_secs", "query_batch_secs",
+                "query_batch1k_secs"]
+
+    def best_per_metric(reps: list[dict]) -> dict:
+        out = dict(reps[0])
+        for k in rate_keys:
+            out[k] = max(r[k] for r in reps)
+        for k in sec_keys:
+            out[k] = min(r[k] for r in reps)
+        return out
+
+    lo, hi = best_per_metric(lo_reps), best_per_metric(hi_reps)
     ratio = args.high / args.low
     eff_build = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
     eff_seg = (hi["segment_docs_per_sec"] / lo["segment_docs_per_sec"]) / ratio
     eff_qps = (hi["qps"] / lo["qps"]) / ratio
+    eff_qps_1k = (hi["qps_1k"] / lo["qps_1k"]) / ratio
 
     result = {
         "docs": args.docs,
-        "low": lo,
-        "high": hi,
+        "reps": {"low": lo_reps, "high": hi_reps},
+        "best_per_metric": {"low": lo, "high": hi},
         "scaling_efficiency_index_build": round(eff_build, 3),
         "scaling_efficiency_segment_build": round(eff_seg, 3),
         "scaling_efficiency_qps": round(eff_qps, 3),
+        "scaling_efficiency_qps_1k": round(eff_qps_1k, 3),
     }
     print(json.dumps(result))
 

@@ -46,17 +46,26 @@ class Registry:
         os.replace(tmp, self._catalog_path())
 
     # -- api ----------------------------------------------------------
-    def create(self, name: str | None = None) -> tuple[int, str]:
-        """Reserve a corpus slot: returns (auto id, store path to build
+    KINDS = ("segments", "ann_lsh", "ann_ivf")
+
+    def create(
+        self, name: str | None = None, kind: str = "segments"
+    ) -> tuple[int, str]:
+        """Reserve a store slot: returns (auto id, store path to build
         into). Name defaults to corpus<id>; duplicate names are
-        rejected (the reference's unique graph ids)."""
+        rejected (the reference's unique graph ids). `kind` types the
+        row — segment stores and ANN (LSH / IVF) indexes live in ONE
+        namespace, the way the reference keeps all corpora under one
+        database (model.py:10-31)."""
+        if kind not in self.KINDS:
+            raise ValueError(f"unknown store kind {kind!r}; one of {self.KINDS}")
         cat = self._load()
         cid = cat["next_id"]
         name = name or f"corpus{cid}"
         if any(c["name"] == name for c in cat["corpora"].values()):
             raise ValueError(f"corpus name already registered: {name!r}")
         path = os.path.join(self.root, f"store_{cid:06d}")
-        cat["corpora"][str(cid)] = {"name": name, "path": path}
+        cat["corpora"][str(cid)] = {"name": name, "path": path, "kind": kind}
         cat["next_id"] = cid + 1
         self._save(cat)
         return cid, path
@@ -72,16 +81,34 @@ class Registry:
                 return k, cat
         raise KeyError(f"no corpus {key!r} in registry {self.root}")
 
-    def open(self, key: int | str) -> SegmentStore:
+    def open(self, key: int | str, spark=None):
+        """Open by id or name, dispatching on the row's kind:
+        segments -> SegmentStore, ann_lsh -> AnnIndex,
+        ann_ivf -> IvfIndex (the ANN kinds need `spark` to re-read
+        their parquet form)."""
         k, cat = self._resolve(key)
-        return open_segments(cat["corpora"][k]["path"])
+        c = cat["corpora"][k]
+        kind = c.get("kind", "segments")
+        if kind == "segments":
+            return open_segments(c["path"])
+        if spark is None:
+            raise ValueError(f"opening a {kind!r} store requires spark=")
+        from ..operators.similarity import open_ann_index, open_ivf_index
+
+        opener = open_ann_index if kind == "ann_lsh" else open_ivf_index
+        return opener(spark, c["path"])
 
     def list(self) -> list[dict]:
         cat = self._load()
         out = []
         for k in sorted(cat["corpora"], key=int):
             c = cat["corpora"][k]
-            row = {"corpus_id": int(k), "name": c["name"], "path": c["path"]}
+            row = {
+                "corpus_id": int(k),
+                "name": c["name"],
+                "path": c["path"],
+                "kind": c.get("kind", "segments"),
+            }
             ledger_p = os.path.join(c["path"], "ledger.json")
             if os.path.exists(ledger_p):
                 with open(ledger_p) as f:

@@ -64,16 +64,77 @@ def build_dictionary(term_stats: DataFrame) -> DataFrame:
     ordering contract downstream (block sort, float-sum rank order)
     transfers to the 4-byte id unchanged.
 
-    Ids come from zipWithIndex over the sorted vocabulary: distributed
-    (per-partition counts + offsets, no single-task window), one pass,
-    deterministic. The postings themselves never ride this job — it is
-    vocabulary-sized."""
+    id = global rank of the term, computed WITHOUT a Python-serialized
+    RDD pass (the old rdd.zipWithIndex pickled every vocabulary row
+    through Python workers) and without a single-task global window:
+      1. range-partition + sort the vocabulary by term, then PIN that
+         layout with localCheckpoint — partition index order is range
+         order, and pinning makes the two passes below read identical
+         partitions (a silent recompute with different range bounds
+         would corrupt the ids; with the checkpoint it can't happen);
+      2. one tiny JVM agg: rows per partition -> driver-side prefix
+         offsets (n_partitions entries);
+      3. one Arrow pass (mapInPandas) assigning id = partition offset +
+         row position. Vocabulary-sized; the postings never ride it."""
     spark = term_stats.sparkSession
-    sorted_terms = term_stats.select("term", "df").orderBy("term")
-    rdd = sorted_terms.rdd.zipWithIndex().map(
-        lambda x: (x[0]["term"], int(x[1]), int(x[0]["df"]))
+    parallelism = spark.sparkContext.defaultParallelism
+    ranged = (
+        term_stats.select("term", "df")
+        .repartitionByRange(parallelism, "term")
+        .sortWithinPartitions("term")
+        .localCheckpoint()
     )
-    return spark.createDataFrame(rdd, "term string, term_id int, df long")
+    # pid is evaluated over the PINNED layout, so it names the range
+    # partition (range order == partition index order) — ids derive from
+    # the data itself, not from task layout, which keeps them correct
+    # under the coalesce below (coalesce concatenates whole partitions
+    # in order; each pid run stays contiguous and sorted).
+    with_pid = ranged.select(
+        F.spark_partition_id().alias("pid"), "term", "df"
+    )
+    counts = {
+        int(r["pid"]): int(r["cnt"])
+        for r in with_pid.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    def assign(batches):
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            pids = pdf["pid"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int32)
+            run_starts = np.flatnonzero(
+                np.concatenate(([True], pids[1:] != pids[:-1]))
+            )
+            run_ends = np.append(run_starts[1:], len(pdf))
+            for rs, re in zip(run_starts, run_ends):
+                pid = int(pids[rs])
+                base = offsets.get(pid, 0) + seen.get(pid, 0)
+                ids[rs:re] = np.arange(base, base + (re - rs), dtype=np.int32)
+                seen[pid] = seen.get(pid, 0) + (re - rs)
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "term_id": ids,
+                    "df": pdf["df"].to_numpy(np.int64),
+                }
+            )
+
+    # few LARGE dictionary files, not one tiny file per core: the
+    # per-query term lookup is a pushed-filter scan whose cost at small
+    # vocab is file-open/task overhead — 32 near-empty files measurably
+    # tax single-query latency. ~4M terms/file keeps the file count
+    # proportional to vocabulary size at web scale.
+    n_files = min(parallelism, max(1, -(-acc // 4_000_000)))
+    return with_pid.coalesce(n_files).mapInPandas(
+        assign, "term string, term_id int, df long"
+    )
 
 
 def bucket_col(doc_id_col, n_buckets: int):
@@ -98,7 +159,7 @@ def bucket_of_doc(doc_id: int, n_buckets: int) -> int:
     return ((doc_id ^ (1 << 63)) & ((1 << 64) - 1)) >> shift
 
 
-def _encoder(n_docs: int, avgdl: float, block_size: int):
+def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast):
     """Streaming per-PARTITION encoder (mapInPandas).
 
     Input partitions are hash-distributed by bucket and sorted by
@@ -107,6 +168,15 @@ def _encoder(n_docs: int, avgdl: float, block_size: int):
     batch boundaries. One python invocation per Arrow batch — NOT one
     per (bucket, term) group, which at web scale (10^5 terms x 10^3
     buckets) would pay the per-group pandas overhead ~10^8 times.
+
+    Shuffle-width contract: rows arrive as (bucket, term_id, doc_id,
+    tfdl) — tf and dl packed into ONE int64 ((tf<<32)|dl; both are
+    bounded by document length << 2^31), and df is NOT a shuffle column
+    at all: term_ids are dense ranks, so per-term df rides in as
+    `df_bcast`, a term_id-indexed int64 numpy array broadcast once per
+    build (the same vocabulary-sized payload the pre-exchange broadcast
+    join already ships). The exchange — the encode path's measured
+    scaling bottleneck — carries 24 B/row instead of 40.
     """
 
     def encode_stream(batches):
@@ -139,9 +209,10 @@ def _encoder(n_docs: int, avgdl: float, block_size: int):
         b = pdf["bucket"].to_numpy(np.int64)
         terms = pdf["term_id"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
-        tf = pdf["tf"].to_numpy(np.int64)
-        dl = pdf["dl"].to_numpy(np.int64)
-        dfs = pdf["df"].to_numpy(np.int64)
+        tfdl = pdf["tfdl"].to_numpy(np.int64)
+        tf = tfdl >> 32
+        dl = tfdl & 0xFFFFFFFF
+        dfs = df_bcast.value[terms]
 
         # (bucket, term) group starts -> per-row offset within group ->
         # block starts every block_size rows, all vectorized
@@ -234,6 +305,20 @@ def _save_ledger(path: str, ledger: dict) -> None:
     os.replace(tmp, lp)  # atomic done-marker
 
 
+def df_lookup_broadcast(dictionary: DataFrame):
+    """term_id-indexed df array as a Spark broadcast. term_ids are dense
+    ranks 0..V-1, so the lookup is a plain numpy index — 8 B/term, the
+    same vocabulary-sized payload the pre-exchange broadcast join
+    already ships to every executor."""
+    spark = dictionary.sparkSession
+    pdf = dictionary.select("term_id", "df").toPandas()
+    size = int(pdf["term_id"].max()) + 1 if len(pdf) else 0
+    arr = np.zeros(size, dtype=np.int64)
+    if size:
+        arr[pdf["term_id"].to_numpy(np.int64)] = pdf["df"].to_numpy(np.int64)
+    return spark.sparkContext.broadcast(arr)
+
+
 def encoded_blocks(
     idx: InvertedIndex,
     dictionary: DataFrame,
@@ -241,20 +326,22 @@ def encoded_blocks(
     n_buckets: int,
     block_size: int,
     parallelism: int,
+    df_bcast=None,
 ) -> DataFrame:
     """The encode plan for one bucket group: postings -> posting blocks.
 
     Plan shape (guarded by tests/test_plans.py):
-      * the term DICTIONARY (term -> 4-byte term_id + df; vocabulary-
-        sized) is BROADCAST — the postings (the 100 TB side) are never
+      * the term DICTIONARY (term -> 4-byte term_id; vocabulary-sized)
+        is BROADCAST — the postings (the 100 TB side) are never
         shuffled for a join; no SortMergeJoin anywhere.
       * the dictionary join happens BEFORE the exchange so the shuffle
-        carries (term_id int, doc_id, tf, dl, df, bucket) — no term
-        strings. The shuffle is the encode path's scaling bottleneck;
-        string keys cost both bytes and comparator time in the range
-        partitioner. (df could be re-attached after the exchange to
-        save another 8 B/row, but a second broadcast join costs more
-        CPU than those bytes save — measured.)
+        carries exactly (term_id int, doc_id long, tfdl long, bucket
+        int) = 24 B/row — no term strings, tf+dl packed into one int64,
+        and df not shuffled at all (re-attached inside the encoder from
+        the term_id-indexed broadcast array, `df_lookup_broadcast`).
+        The shuffle is the encode path's measured scaling bottleneck;
+        every byte through the range partitioner costs both bandwidth
+        and comparator time.
       * exactly ONE shuffle of the postings: the range repartition that
         IS the index layout. Parallelism is sized to the cluster, not
         the bucket count — range partitioning by (bucket, term_id)
@@ -264,19 +351,19 @@ def encoded_blocks(
         task's rows inside 1-2 bucket dirs, so the partitionBy("bucket")
         write emits O(parallelism + n_buckets) files.
     """
+    if df_bcast is None:
+        df_bcast = df_lookup_broadcast(dictionary)
     p = (
-        idx.postings.join(F.broadcast(dictionary), "term")
+        idx.postings.join(F.broadcast(dictionary.select("term", "term_id")), "term")
         .select(
             "term_id",
             "doc_id",
-            "tf",
-            "dl",
-            "df",
+            F.shiftleft(F.col("tf"), 32).bitwiseOR(F.col("dl")).alias("tfdl"),
             bucket_col(F.col("doc_id"), n_buckets).alias("bucket"),
         )
         .filter(F.col("bucket").isin(buckets))
     )
-    encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size)
+    encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size, df_bcast)
     return (
         p.repartitionByRange(
             max(len(buckets), parallelism), "bucket", "term_id"
@@ -323,12 +410,24 @@ def build_segments(
         shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
         shutil.rmtree(os.path.join(path, "dictionary"), ignore_errors=True)
         ledger = {"groups": {}, "stats": None}
+    if not ledger["groups"]:
+        # Fresh (or wiped) build into a possibly-reused directory: stale
+        # tombstones carry doc_ids and per-term df_deltas keyed by the OLD
+        # store's term_ids — inherited, they'd silently mask live docs and
+        # shift BM25 stats. A fresh store starts with no deletes.
+        from .deletes import TOMBSTONE_FILE
+
+        try:
+            os.remove(os.path.join(path, TOMBSTONE_FILE))
+        except FileNotFoundError:
+            pass
     ledger["stats"] = stats_now
 
     # term dictionary: written once per build (idempotent overwrite on
     # resume — ids are deterministic for a given vocabulary)
     dictionary = build_dictionary(idx.term_stats).persist()
     dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
+    df_bcast = df_lookup_broadcast(dictionary)
 
     groups = [
         list(range(g, min(g + group_size, n_buckets)))
@@ -342,11 +441,13 @@ def build_segments(
             continue
         if fail_after_groups is not None and done_groups >= fail_after_groups:
             dictionary.unpersist()
+            df_bcast.unpersist()
             _save_ledger(path, ledger)
             raise RuntimeError(f"injected failure before group {key}")
         t0 = time.time()
         enc = encoded_blocks(
-            idx, dictionary, buckets, n_buckets, block_size, parallelism
+            idx, dictionary, buckets, n_buckets, block_size, parallelism,
+            df_bcast=df_bcast,
         )
         out_dir = os.path.join(path, "segments")
         # idempotent per-group write: overwrite only this group's bucket dirs
@@ -401,6 +502,7 @@ def build_segments(
     ledger["bytes_compressed_total"] = total_bytes
     _save_ledger(path, ledger)
     dictionary.unpersist()
+    df_bcast.unpersist()
     return SegmentStore(
         path=path,
         n_docs=idx.stats.n_docs,

@@ -69,12 +69,39 @@ def exact_dedup_groups_hashed(
     )
 
 
-def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _group_hash=None,
+) -> DataFrame:
     """Keep exactly one doc per distinct text (the min id); hash-grouped
-    (the scale path)."""
-    keep = exact_dedup_groups_hashed(df, id_col, text_col).select(
+    (the scale path — 8-byte shuffle keys, document bytes never move).
+
+    Collision safety: groups whose second-hash canary fails (two distinct
+    texts collided under the grouping hash, ~2^-64/pair) are routed back
+    through the exact text-grouped pass, so output equals
+    exact_dedup_groups semantics even under a first-hash collision. The
+    impure-hash set is collision-sized, hence broadcast.
+
+    _group_hash: test hook — inject a deliberately colliding grouping
+    hash to exercise the fallback path.
+    """
+    t = F.col(text_col)
+    h = _group_hash if _group_hash is not None else F.xxhash64(t)
+    groups = df.groupBy(h.alias("h")).agg(
+        F.min(F.col(id_col)).alias("keep_id"),
+        (F.countDistinct(F.xxhash64(t, F.lit(7))) == 1).alias("hash_pure"),
+    )
+    pure_keep = groups.filter(F.col("hash_pure")).select(
         F.col("keep_id").alias(id_col)
     )
+    impure_h = groups.filter(~F.col("hash_pure")).select("h")
+    collided = df.join(F.broadcast(impure_h), h == impure_h["h"], "left_semi")
+    rescued_keep = exact_dedup_groups(collided, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    keep = pure_keep.unionByName(rescued_keep)
     return df.join(keep, id_col, "left_semi")
 
 

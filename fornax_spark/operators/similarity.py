@@ -308,9 +308,20 @@ def build_ivf_index(
     vec_col: str = "embedding",
     persist: bool = True,
 ) -> IvfIndex:
+    # Deterministic, layout-independent training sample: limit WITHOUT an
+    # order takes whichever partitions answer first, so centroids (and
+    # pruned-probe recall) would drift across partition layouts. orderBy
+    # + limit compiles to TakeOrderedAndProject (per-partition heaps, one
+    # driver merge) — still a bounded driver transfer of
+    # train_sample x dim floats, now content-keyed.
     sample_rows = (
-        df.select(vec_col).limit(train_sample).collect()
-    )  # bounded driver transfer: train_sample x dim floats
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError("build_ivf_index: input DataFrame is empty")
     sample = np.array([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
     k = min(n_clusters, len(sample))
     centroids = _kmeans(sample, k, kmeans_iters, seed)
@@ -333,6 +344,40 @@ def build_ivf_index(
     if persist:
         assignments = assignments.persist()
     return IvfIndex(assignments=assignments, centroids=centroids)
+
+
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Durable form, mirroring write_ann_index: the assignment table as
+    parquet range-partitioned + sorted by cluster (row-group min/max
+    stats prune `cluster IN (...)` probes to ~nprobe/k of the files),
+    and the trained centroids in meta.json (k x dim floats — driver
+    sized by construction)."""
+    import json
+    import os
+
+    (
+        index.assignments.repartitionByRange(
+            index.assignments.sparkSession.sparkContext.defaultParallelism,
+            "cluster",
+        )
+        .sortWithinPartitions("cluster", "id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "assignments"))
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"centroids": index.centroids.tolist()}, f)
+
+
+def open_ivf_index(spark, path: str) -> IvfIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return IvfIndex(
+        assignments=spark.read.parquet(os.path.join(path, "assignments")),
+        centroids=np.asarray(meta["centroids"], dtype=np.float64),
+    )
 
 
 def ivf_search(

@@ -41,7 +41,11 @@ def _session_func(gap_minutes: int, use_timeout: bool):
 
         if state.hasTimedOut:
             sid, s, e, n = state.get
-            state.remove()
+            # Keep the session counter so the user's NEXT session continues
+            # the batch sessionizer's cumsum numbering instead of restarting
+            # at 1; start_us=None marks "no open session" (the s-is-None
+            # branch below re-opens on the next event).
+            state.update((sid, None, None, 0))
             yield pd.DataFrame([(user_id, sid, n, s, e)], columns=cols)
             return
 
@@ -63,8 +67,18 @@ def _session_func(gap_minutes: int, use_timeout: bool):
                 out.append((user_id, sid, n, s, e))
                 sid, s, e, n = sid + 1, t, t, 1
             else:
-                e, n = t, n + 1
+                # Clamp: a late event from a later micro-batch (t < e, but
+                # inside the watermark and the gap) must not move the
+                # session end backwards — later gap comparisons would then
+                # use the regressed end and diverge from the batch
+                # sessionizer. Extend the span, never shrink it.
+                s, e, n = min(s, t), max(e, t), n + 1
         state.update((sid, s, e, n))
+        if use_timeout and s is None:
+            # nothing open (can only happen on an empty batch after a
+            # timeout flush) — no deadline to arm
+            yield pd.DataFrame(out, columns=cols)
+            return
         if use_timeout:
             # event-time timeout: fires once the watermark passes the
             # open session's idle deadline

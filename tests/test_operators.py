@@ -49,6 +49,20 @@ def test_exact_dedup_hashed_equals_text_grouped(spark, docs_df):
     assert sorted((r["keep_id"], r["n_dups"]) for r in hashed) == base
 
 
+def test_exact_dedup_survives_hash_collision(spark, docs_df):
+    """Force grouping-hash collisions via the _group_hash test hook: the
+    impure groups must be routed through the exact text-grouped pass, so
+    the kept set is unchanged even when the hash is degenerate."""
+    from fornax_spark.operators.dedup import dedup_exact
+
+    for bad_hash in (F.lit(0), F.length(F.col("text")) % 2):
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_exact(docs_df, _group_hash=bad_hash).collect()
+        )
+        assert kept == [1, 3, 4, 5, 6], str(bad_hash)
+
+
 def test_ngram_jaccard(spark, docs_df):
     from fornax_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -208,6 +222,44 @@ def test_ivf_index_full_probe_exact_and_pruned_recall(spark):
     pruned = {r["id"] for r in ivf_search(index, q, k=10, nprobe=2).collect()}
     assert len(pruned & {i for i, _c in exact}) >= 8
     index.unpersist()
+
+
+def test_ivf_index_durable_roundtrip_and_determinism(spark, tmp_path):
+    """write_ivf_index/open_ivf_index round-trips centroids +
+    assignments; centroids are layout-independent (orderBy-limit
+    training sample), and an empty input raises instead of crashing
+    inside k-means."""
+    from fornax_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        open_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    index = build_ivf_index(df, dim=16, n_clusters=8)
+    got = [tuple(r) for r in ivf_search(index, q, k=10, nprobe=8).collect()]
+
+    # layout independence: a shuffled, re-partitioned copy of the same
+    # rows trains identical centroids
+    df2 = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<float>").repartition(7)
+    index2 = build_ivf_index(df2, dim=16, n_clusters=8, persist=False)
+    assert np.allclose(index.centroids, index2.centroids)
+
+    write_ivf_index(index, str(tmp_path / "ivf"))
+    reopened = open_ivf_index(spark, str(tmp_path / "ivf"))
+    assert np.allclose(reopened.centroids, index.centroids)
+    assert [tuple(r) for r in ivf_search(reopened, q, k=10, nprobe=8).collect()] == got
+    index.unpersist()
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(empty, dim=16)
 
 
 def test_embedding_near_dup_pairs_multi_table(spark):

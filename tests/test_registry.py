@@ -48,3 +48,56 @@ def test_registry_lifecycle(spark, tmp_path):
     # ids never reused
     id3, _p3 = reg.create("news")
     assert id3 == 3
+
+
+def test_registry_catalogs_ann_stores(spark, tmp_path):
+    """ANN (LSH and IVF) indexes live in the SAME registry namespace as
+    segment stores, typed by `kind`, and reopen through Registry.open."""
+    import numpy as np
+
+    from fornax_spark.operators.similarity import (
+        ann_search,
+        build_ann_index,
+        build_ivf_index,
+        ivf_search,
+        write_ann_index,
+        write_ivf_index,
+    )
+
+    reg = Registry(str(tmp_path / "reg"))
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+
+    _lsh_id, lsh_path = reg.create("emb-lsh", kind="ann_lsh")
+    lsh = build_ann_index(df, dim=8, n_planes=6, n_tables=2, persist=False)
+    write_ann_index(lsh, lsh_path)
+
+    _ivf_id, ivf_path = reg.create("emb-ivf", kind="ann_ivf")
+    ivf = build_ivf_index(df, dim=8, n_clusters=4, persist=False)
+    write_ivf_index(ivf, ivf_path)
+
+    kinds = {r["name"]: r["kind"] for r in reg.list()}
+    assert kinds == {"emb-lsh": "ann_lsh", "emb-ivf": "ann_ivf"}
+
+    lsh2 = reg.open("emb-lsh", spark=spark)
+    assert [tuple(r) for r in ann_search(lsh2, q, k=5).collect()] == [
+        tuple(r) for r in ann_search(lsh, q, k=5).collect()
+    ]
+    ivf2 = reg.open("emb-ivf", spark=spark)
+    assert [tuple(r) for r in ivf_search(ivf2, q, k=5, nprobe=4).collect()] == [
+        tuple(r) for r in ivf_search(ivf, q, k=5, nprobe=4).collect()
+    ]
+    with pytest.raises(ValueError, match="requires spark"):
+        reg.open("emb-ivf")
+    with pytest.raises(ValueError, match="unknown store kind"):
+        reg.create("x", kind="bogus")
+
+    # cascading delete works for ANN rows too
+    reg.delete("emb-lsh")
+    assert not os.path.exists(lsh_path)
+    assert [r["name"] for r in reg.list()] == ["emb-ivf"]
