@@ -573,26 +573,20 @@ def q_nema_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative matcher + greedy enumeration is a golden-path check, not a
     scan; the oracle is the constant expected table, itself validated
     against the reference's golden test in tests/test_subgraphs.py)."""
-    from fornax_spark.operators.nema import nema_match
+    from fornax_spark.operators.nema import nema_match_rows
     from fornax_spark.operators.subgraphs import enumerate_subgraphs
 
-    qdf = spark.createDataFrame(NEMA_QE, "start long, end long").coalesce(1)
-    tdf = spark.createDataFrame(NEMA_TE, "start long, end long").coalesce(1)
-    mdf = spark.createDataFrame(
-        [(v, u, 1.0) for v, u in NEMA_M], "v long, u long, weight double"
-    ).coalesce(1)
-    # the fixture is tiny and the matcher is a driver-side iterative
-    # loop: wide default shuffle widths only add scheduling latency here
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        res = nema_match(qdf, tdf, mdf, h=2, alpha=0.3, lam=0.3, max_iters=10)
-        rows = []
-        for sid, g in enumerate(enumerate_subgraphs(res), start=1):
-            for v, u in g["pairs"]:
-                rows.append((sid, v, u, round(g["score"], 6)))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # tiny fixture -> the rows-input form runs the identical cost recipe
+    # in-process (nema_match's size dispatch without even the probe
+    # collects); the only Spark job left is the result materialization
+    res = nema_match_rows(
+        spark, NEMA_QE, NEMA_TE, [(v, u, 1.0) for v, u in NEMA_M],
+        h=2, alpha=0.3, lam=0.3, max_iters=10,
+    )
+    rows = []
+    for sid, g in enumerate(enumerate_subgraphs(res), start=1):
+        for v, u in g["pairs"]:
+            rows.append((sid, v, u, round(g["score"], 6)))
     return spark.createDataFrame(
         rows, "subgraph_id int, v long, u long, score double"
     )

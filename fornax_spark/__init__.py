@@ -14,3 +14,15 @@ papers (NeMa VLDB'13; Block-Max WAND, Ding & Suel SIGIR'11).
 """
 
 __version__ = "0.1.0"
+
+# the reference's handle-style user surface (api.py Connection /
+# GraphHandle / QueryHandle), importable as `fornax_spark.GraphHandle`
+# the way users import `fornax.GraphHandle`
+from .api import (  # noqa: E402,F401
+    Connection,
+    GraphHandle,
+    InvalidEdgeError,
+    InvalidNodeError,
+    NullValue,
+    QueryHandle,
+)

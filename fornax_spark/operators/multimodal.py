@@ -125,6 +125,69 @@ def image_features(
     return assets.mapInPandas(run, out_schema)
 
 
+def audio_features(
+    assets: DataFrame,
+    decoder: Callable[[bytes], tuple[int, np.ndarray]] | None = None,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Decode -> mono mix -> mean-pool to an `n_bins`-dim envelope
+    feature per audio asset (mean |amplitude| per time bin).
+
+    Default decoder: the real pure-stdlib WAV/PCM codec
+    (operators/audiocodec.decode_wav) — same move that made images real
+    in imagecodec.py. Compressed formats (mp3/ogg) swap in via the
+    `decoder=` hook. Same mapInPandas shape as image_features, so the
+    output composes with operators.similarity ANN directly.
+    """
+    if decoder is None:
+        from .audiocodec import decode_wav
+
+        decoder = decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ids, rates = [], [], []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                rate, samples = decoder(
+                    None if r.payload is None else bytes(r.payload)
+                )
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                # mean-pool |amplitude| into n_bins: trim to a divisible
+                # grid (same policy as the image mean-pool above)
+                tb = max((n // n_bins) * n_bins, 0)
+                if tb == 0:
+                    env = np.zeros(n_bins, dtype=np.float32)
+                else:
+                    env = (
+                        np.abs(mono[:tb])
+                        .reshape(n_bins, tb // n_bins)
+                        .mean(axis=1)
+                        .astype(np.float32)
+                    )
+                feats.append(env.tolist())
+                ids.append(r.asset_id)
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    return assets.mapInPandas(run, out_schema)
+
+
 def frame_sample(
     assets: DataFrame, every_n: int = 10, frame_bytes: int = 64
 ) -> DataFrame:
@@ -167,8 +230,10 @@ def frame_sample(
 def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic asset table for tests/benches. Image payloads are
     REAL PNG bytes (pure-stdlib encoder, rotating through all five PNG
-    filter types so the decoder branches all run); video/audio payloads
-    stay opaque bytes for the stub-codec paths."""
+    filter types so the decoder branches all run); audio payloads are
+    REAL 16-bit PCM WAV bytes (pure-stdlib encoder, alternating mono /
+    stereo); only video stays opaque bytes for the stub-codec path."""
+    from .audiocodec import encode_wav
     from .imagecodec import encode_png
 
     rng = np.random.default_rng(seed)
@@ -179,6 +244,13 @@ def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:
             pixels = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
             payload = encode_png(pixels, filter_type=i % 5)
             codec_name = "png"
+        elif kind == "audio":
+            n_ch = 1 + (i // 3) % 2
+            samples = rng.integers(
+                -32768, 32768, (800, n_ch), dtype=np.int64
+            ).astype(np.int16)
+            payload = encode_wav(samples, sample_rate=16000)
+            codec_name = "pcm_s16le"
         else:
             payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8).tolist())
             codec_name = "fake"

@@ -62,16 +62,21 @@ def enumerate_subgraphs(
     full 1.0 (api.py:886-894).
     """
     assert result.neighbour_argmins is not None, "run nema_match first"
-    inf_rows = result.inference_costs.collect()
-    inference = {(r["v"], r["u"]): float(r["cost"]) for r in inf_rows}
+    if result.local_costs is not None:  # in-process fast path: no collect
+        inference = dict(result.local_costs)
+        argmin_rows = result.local_argmins
+    else:
+        inference = {
+            (r["v"], r["u"]): float(r["cost"])
+            for r in result.inference_costs.collect()
+        }
+        argmin_rows = [
+            (r["v"], r["u"], r["vv"], r["uu"])
+            for r in result.neighbour_argmins.collect()
+        ]
     neigh: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for r in sorted(
-        result.neighbour_argmins.collect(),
-        key=lambda r: (r["v"], r["u"], r["vv"]),
-    ):
-        neigh.setdefault((int(r["v"]), int(r["u"])), []).append(
-            (int(r["vv"]), int(r["uu"]))
-        )
+    for v, u, vv, uu in sorted(argmin_rows):
+        neigh.setdefault((int(v), int(u)), []).append((int(vv), int(uu)))
 
     def walk(seed: tuple[int, int], out: list[tuple[int, int]]) -> None:
         if seed[0] in {v for v, _u in out}:
@@ -120,15 +125,22 @@ def node_link_graphs(
     """Assemble the reference's exact JSON payload (api.py:941-1041):
     top-n subgraph matches as node-link graphs.
 
-    query_nodes/target_nodes: (id, meta-dict) pairs; edges: (start, end).
-    Node ids are hashed with their type so one payload can carry both
-    graphs; match links carry weight = 1 - inference_cost.
+    query_nodes/target_nodes: (id, meta-dict) pairs; edges: (start, end)
+    or (start, end, meta-dict) — the 3-tuple form carries STORED
+    per-edge metadata into the payload (reference api.py:913-938 spreads
+    edge.meta into each link dict; the handle facade feeds this from its
+    parquet meta columns). Node ids are hashed with their type so one
+    payload can carry both graphs; match links carry
+    weight = 1 - inference_cost.
     """
     ranked = enumerate_subgraphs(result, n_query_nodes=len(query_nodes))[:n]
-    inference = {
-        (r["v"], r["u"]): float(r["cost"])
-        for r in result.inference_costs.collect()
-    }
+    if result.local_costs is not None:
+        inference = dict(result.local_costs)
+    else:
+        inference = {
+            (r["v"], r["u"]): float(r["cost"])
+            for r in result.inference_costs.collect()
+        }
 
     def node_dict(nid: int, ntype: str, meta: dict) -> dict:
         return {"id": _hash((nid, ntype), maxsize), "type": ntype, **meta}
@@ -142,10 +154,22 @@ def node_link_graphs(
             e = _hash((end, "target"), maxsize)
         return {"source": s, "target": e, "type": etype, "weight": weight, **meta}
 
-    q_nodes = [node_dict(i, "query", m) for i, m in sorted(query_nodes)]
-    q_edges = [edge_dict(s, e, "query", {}) for s, e in sorted(query_edges)]
-    t_nodes = [node_dict(i, "target", m) for i, m in sorted(target_nodes)]
-    t_edges = [edge_dict(s, e, "target", {}) for s, e in sorted(target_edges)]
+    def _edge3(e):  # (start, end) | (start, end, meta)
+        return e[0], e[1], (e[2] if len(e) > 2 else {})
+
+    ekey = lambda e: (e[0], e[1])  # noqa: E731 — dicts don't compare
+    nkey = lambda x: x[0]  # noqa: E731
+
+    q_nodes = [node_dict(i, "query", m) for i, m in sorted(query_nodes, key=nkey)]
+    q_edges = [
+        edge_dict(s, e, "query", m)
+        for s, e, m in (_edge3(x) for x in sorted(query_edges, key=ekey))
+    ]
+    t_nodes = [node_dict(i, "target", m) for i, m in sorted(target_nodes, key=nkey)]
+    t_edges = [
+        edge_dict(s, e, "target", m)
+        for s, e, m in (_edge3(x) for x in sorted(target_edges, key=ekey))
+    ]
 
     graphs = []
     for g in ranked:

@@ -145,3 +145,50 @@ def test_nema_isomorphic_assignment_wins(spark):
     res = nema_match(qdf, tdf, mdf)
     got = {r["v"]: r["u"] for r in res.optimal_match.collect()}
     assert got == {1: 11, 2: 12, 3: 13, 4: 14}
+
+
+def test_nema_local_equals_distributed(spark):
+    """The size-dispatched in-process path must agree with the
+    distributed DataFrame path on costs, optimal assignment, iteration
+    count AND the greedy transition table."""
+    from fornax_spark.operators.nema import nema_match
+
+    qdf = spark.createDataFrame(QEDGES, "start long, end long")
+    tdf = spark.createDataFrame(TEDGES, "start long, end long")
+    mdf = spark.createDataFrame(MATCHES, "v long, u long, weight double")
+
+    loc = nema_match(qdf, tdf, mdf, h=2, alpha=0.3, lam=0.3, max_iters=10)
+    dist = nema_match(
+        qdf, tdf, mdf, h=2, alpha=0.3, lam=0.3, max_iters=10,
+        local_threshold=0,
+    )
+    assert loc.iters == dist.iters
+    ca = {(r["v"], r["u"]): r["cost"] for r in loc.inference_costs.collect()}
+    cb = {(r["v"], r["u"]): r["cost"] for r in dist.inference_costs.collect()}
+    assert set(ca) == set(cb)
+    for k in ca:
+        assert ca[k] == pytest.approx(cb[k], abs=1e-12), k
+    assert {r["v"]: r["u"] for r in loc.optimal_match.collect()} == {
+        r["v"]: r["u"] for r in dist.optimal_match.collect()
+    }
+    assert sorted(
+        tuple(r) for r in loc.neighbour_argmins.collect()
+    ) == sorted(tuple(r) for r in dist.neighbour_argmins.collect())
+
+
+def test_nema_local_path_validates(spark):
+    from fornax_spark.operators.nema import nema_match
+
+    qdf = spark.createDataFrame(QEDGES, "start long, end long")
+    tdf = spark.createDataFrame(TEDGES, "start long, end long")
+    bad = spark.createDataFrame(
+        [(1, 11, 1.5)], "v long, u long, weight double"
+    )
+    with pytest.raises(ValueError, match="invalid ingest rows"):
+        nema_match(qdf, tdf, bad)
+    loops = spark.createDataFrame([(5, 5)], "start long, end long")
+    with pytest.raises(ValueError, match="invalid ingest rows"):
+        nema_match(
+            loops, tdf,
+            spark.createDataFrame([(5, 11, 0.5)], "v long, u long, weight double"),
+        )
