@@ -118,9 +118,20 @@ def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if sf_dir not in _FT_STORE_CACHE:
         idx = _ft_index(spark, sf_dir)
+        import os as _os
+
+        # n_buckets >= the 32 local cores: bucket count IS the query-time
+        # task parallelism (per-bucket applyInPandas kernel), so fewer
+        # buckets than cores caps scoring concurrency below the machine.
+        # Store on tmpfs: /tmp here is an overlay fs that serializes
+        # concurrent parquet writers (25.8 s vs 14.9 s for the same
+        # 8-core build) — /dev/shm stands in for cluster NVMe/HDFS.
         _FT_STORE_CACHE[sf_dir] = build_segments(
-            spark, idx, tempfile.mkdtemp(prefix="fornax_entry_seg_"),
-            n_buckets=16,
+            spark, idx, tempfile.mkdtemp(
+                prefix="fornax_entry_seg_",
+                dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+            ),
+            n_buckets=32,
         )
     out = search_segments(spark, _FT_STORE_CACHE[sf_dir], FT_QUERY, k=FT_K)
     return out.select("rank", "doc_id", F.round(F.col("score"), 4).alias("score"))
@@ -399,6 +410,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: connected components (min-label
+    propagation) over the exact n-gram Jaccard pair graph — one row per
+    clustered doc with its canonical keeper id. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pair set."""
+    from fornax_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.3)
+    return dup_clusters(pairs)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate candidate generation -> rows-only driver check; the
     # exact-Jaccard verification path is SQL-checked via
@@ -628,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -891,6 +914,41 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
+    """
+
+    # transitive closure of the same exact-Jaccard pair graph; min
+    # reachable id per node == min-label-propagation fixed point
+    sqls["dedup_clusters"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+            THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  for i in range(1, len(toks) - 1)]
+            ELSE [] END)) AS shingle
+          FROM t
+        ), sizes AS (
+          SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+          SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
     """
 
     sqls["ann_cosine_topk"] = """

@@ -55,8 +55,10 @@ def main() -> None:
         "simhash_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "emb_similar_pairs",
         "json_meta_extract",
+        "nema_topn",
     ]
     timings: dict[str, float] = {}
     # JVM/codegen/python-worker warmup (not timed): exercised on a tiny
@@ -98,14 +100,21 @@ def main() -> None:
     n_postings = idx.postings.count()
     timings["ft_index_build"] = round(df_build_secs, 3)
 
-    seg_dir = tempfile.mkdtemp(prefix="fornax_seg_")
+    # store writes on tmpfs: this sandbox's /tmp is an overlay fs whose
+    # concurrent writes serialize (8 cores: 25.8 s vs 14.9 s for the
+    # identical build) — /dev/shm is the stand-in for cluster NVMe/HDFS,
+    # the same call session.py makes for shuffle
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    seg_dir = tempfile.mkdtemp(prefix="fornax_seg_", dir=_shm)
     try:
         # best-of-2 (like the query batches below): this VM shows a
         # wandering multi-second stall in long 32-thread sessions that
         # single-shot timings conflate with real cost
         seg_build_secs = None
         for rep in range(2):
-            d = seg_dir if rep == 0 else tempfile.mkdtemp(prefix="fornax_seg2_")
+            d = seg_dir if rep == 0 else tempfile.mkdtemp(
+                prefix="fornax_seg2_", dir=_shm
+            )
             t0 = time.time()
             build_segments(spark, idx, d, n_buckets=32)
             secs = time.time() - t0

@@ -424,10 +424,15 @@ def build_segments(
     ledger["stats"] = stats_now
 
     # term dictionary: written once per build (idempotent overwrite on
-    # resume — ids are deterministic for a given vocabulary)
+    # resume — ids are deterministic for a given vocabulary). Timed
+    # separately into the ledger: this section is O(vocabulary), not
+    # O(corpus) — fixed cost that amortizes to nothing at real scale
+    # but is a visible Amdahl term in small-corpus scaling measurements.
+    t_dict = time.time()
     dictionary = build_dictionary(idx.term_stats).persist()
     dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
     df_bcast = df_lookup_broadcast(dictionary)
+    ledger["dict_secs"] = round(time.time() - t_dict, 3)
 
     groups = [
         list(range(g, min(g + group_size, n_buckets)))

@@ -411,3 +411,80 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster collapse: connected components over a pair table
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Collapse a near-dup PAIR table (from ngram_jaccard_pairs /
+    minhash / simhash / embedding_near_dup_pairs) into components:
+    one row per document in the pair graph, labeled with
+    cluster_id = min doc_id of its connected component — the canonical
+    keeper a dedup pipeline retains.
+
+    Distributed min-label propagation: labels start as each node's own
+    id; every round each node takes the min label over itself and its
+    neighbours (one equi-join + one groupBy-min = two shuffles per
+    round), converging in O(component diameter) rounds. Near-dup
+    components are shallow in practice (dup clusters, not social
+    graphs), so the round count stays small at any corpus scale; the
+    driver loop follows the one-materializing-action-per-iteration
+    pattern (the convergence count fills the new cache). Raises if
+    max_iters rounds don't converge rather than returning a partial
+    labeling.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    converged = False
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("nw"), "node")
+            .filter(F.col("o.label") != F.col("nw.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds; "
+            "raise max_iters (component diameter exceeds the cap)"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -164,3 +164,29 @@ def test_audio_features_match_numpy_oracle(spark):
         grate, gfeat = got[r["asset_id"]]
         assert grate == rate == 16000
         assert np.allclose(gfeat, want, atol=1e-6), r["asset_id"]
+
+
+def test_iceberg_gate(spark):
+    """No Iceberg jars in this sandbox: the gated write/read paths must
+    raise the explicit capability error (and iceberg_available must
+    agree), not fail obscurely inside py4j."""
+    import pytest
+
+    from fornax_spark.sources import (
+        IcebergUnavailableError,
+        iceberg_available,
+        iceberg_snapshots,
+        read_snapshot,
+        write_table_iceberg,
+    )
+
+    df = spark.range(3)
+    if iceberg_available(spark):
+        pytest.skip("iceberg on classpath; gate not exercisable here")
+    for fn in (
+        lambda: write_table_iceberg(df, "cat.db.t"),
+        lambda: iceberg_snapshots(spark, "cat.db.t"),
+        lambda: read_snapshot(spark, "cat.db.t", 1),
+    ):
+        with pytest.raises(IcebergUnavailableError, match="classpath"):
+            fn()

@@ -467,3 +467,26 @@ def test_match_neighbourhood_join(spark):
     assert rows[(1, 11, 3)] == 13
     # v=2,u=12: vv=4 has no match at all -> NULL uu (left outer semantics)
     assert rows[(2, 12, 4)] is None
+
+
+def test_dup_clusters_transitive(spark):
+    """Connected components over a pair table: chains collapse to the
+    min id transitively (label propagation across multiple rounds), and
+    an insufficient round cap raises instead of returning a partial
+    labeling."""
+    from fornax_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (23, 22), (22, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=1)
