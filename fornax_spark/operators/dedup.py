@@ -485,6 +485,15 @@ def dup_clusters(
             f"dup_clusters did not converge in {max_iters} rounds; "
             "raise max_iters (component diameter exceeds the cap)"
         )
-    return labels.select(
+    # Hand back a lineage-free result and release the iteration cache:
+    # localCheckpoint materializes the converged labels from the (still
+    # cached) final round, then the persist is dropped. Checkpoint
+    # blocks are freed by the ContextCleaner when the returned DataFrame
+    # is garbage-collected — unlike a persisted frame, which would stay
+    # in the cache manager with no unpersist() owner across repeated
+    # pipeline calls.
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out

@@ -213,20 +213,13 @@ def _nema_match_local_df(
     node_link_graphs, the driver entry) is agnostic to the dispatch."""
     qe_rows, te_rows, m_rows = local_rows
     if validate:
-        bad: list[str] = []
-        for label, rows in (("query_edges", qe_rows), ("target_edges", te_rows)):
-            for r in rows:
-                if r["start"] is None or r["end"] is None:
-                    bad.append(f'{{"{label}": [{r["start"]}, {r["end"]}], "reason": "null field"}}')
-                elif r["start"] == r["end"]:
-                    bad.append(f'{{"{label}": [{r["start"]}, {r["end"]}], "reason": "self loop"}}')
-        for r in m_rows:
-            if r["v"] is None or r["u"] is None or r["weight"] is None:
-                bad.append(f'{{"match": [{r["v"]}, {r["u"]}], "reason": "null field"}}')
-            elif not (0 < r["weight"] <= 1):
-                bad.append(f'{{"match": [{r["v"]}, {r["u"]}], "reason": "weight out of range (0, 1]"}}')
-        if bad:
-            raise ValueError("invalid ingest rows: " + "; ".join(bad[:5]))
+        # one validation contract for both dispatch paths: the driver-side
+        # twin of operators/validate.check_or_raise (same reasons, same
+        # reject JSON, same ValueError) — callers catch one error shape
+        # regardless of input size (see test_nema_dispatch_same_errors)
+        from .validate import check_rows_or_raise
+
+        check_rows_or_raise(qe_rows, te_rows, m_rows)
 
     final, optimal, iters, argmins = _nema_local(
         [(int(r["start"]), int(r["end"])) for r in qe_rows],

@@ -120,6 +120,52 @@ def validate_matches(
     return out
 
 
+def check_rows_or_raise(
+    query_edges: list,
+    target_edges: list,
+    matches: list,
+    sample: int = 5,
+) -> None:
+    """Driver-side twin of check_or_raise for already-collected Row/dict
+    inputs (nema_match's in-process dispatch): same reason strings, same
+    reject JSON shape (nulls omitted, column order preserved, compact
+    separators — matching Spark's to_json), same ValueError prefix — so
+    the same malformed input raises the identical error regardless of
+    which executor the size dispatch picks."""
+    import json
+
+    bad: list[str] = []
+    for rows in (query_edges, target_edges):
+        for r in rows:
+            s, e = r["start"], r["end"]
+            if s is None or e is None:
+                reason = "null endpoint"
+            elif s == e:
+                reason = "self-loop"
+            else:
+                continue
+            d = {k: v for k, v in (("start", s), ("end", e)) if v is not None}
+            d["reason"] = reason
+            bad.append(json.dumps(d, separators=(",", ":")))
+    for r in matches:
+        v, u, w = r["v"], r["u"], r["weight"]
+        if v is None or u is None or w is None:
+            reason = "null field"
+        elif not (0 < w <= 1):
+            reason = "weight out of range (0, 1]"
+        else:
+            continue
+        d = {
+            k: x
+            for k, x in (("v", v), ("u", u), ("weight", w))
+            if x is not None
+        }
+        d["reason"] = reason
+        bad.append(json.dumps(d, separators=(",", ":")))
+    if bad:
+        raise ValueError("invalid ingest rows: " + "; ".join(bad[:sample]))
+
+
 def check_or_raise(*validated: Validated, sample: int = 5) -> None:
     """Raise ValueError listing up to `sample` rejects across all the
     given validations — the reference's IntegrityError behavior, paid

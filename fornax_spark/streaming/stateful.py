@@ -13,7 +13,17 @@ output is deterministic under any micro-batch slicing).
 
 Invariant (tests/test_stateful_streaming.py): closed sessions from the
 stream == the batch sessionizer's output over the same events,
-regardless of how the input is sliced into micro-batches.
+regardless of how the input is sliced into micro-batches, for every
+event that arrives while its session (or a later one for the same user)
+is still OPEN — including late events inside the open session's span or
+gap (clamped in) and late events older than start-minus-gap (emitted as
+their own earlier session(s), with the open session renumbered past
+them so ids keep matching the batch cumsum). The one reachable
+divergence left is inherent to append-mode streaming: an event landing
+within the gap of a session that was ALREADY emitted by the event-time
+timeout (possible only when the watermark exceeds the gap) opens a new
+session where the batch sessionizer would have extended the emitted
+one — emitted rows cannot be retracted.
 """
 
 from __future__ import annotations
@@ -50,17 +60,42 @@ def _session_func(gap_minutes: int, use_timeout: bool):
             return
 
         batch = pd.concat(list(pdfs), ignore_index=True)
-        ts_us = (
-            batch["ts"].astype("datetime64[us]").astype("int64").sort_values()
-        )
+        ts_list = [
+            int(t)
+            for t in batch["ts"]
+            .astype("datetime64[us]")
+            .astype("int64")
+            .sort_values()
+        ]
         if state.exists:
             sid, s, e, n = state.get
         else:
             sid, s, e, n = 0, None, None, 0
 
         out: list[tuple[Any, ...]] = []
-        for t in ts_us:
-            t = int(t)
+        if s is not None and ts_list and ts_list[0] < s - gap_us:
+            # Late events OLDER than the open session's start minus the
+            # gap: in batch ordering these form separate session(s)
+            # BEFORE the open one. Sessionize the (sorted) prefix
+            # standalone and renumber — the pre-sessions take the open
+            # session's id onward, and the still-unemitted open session
+            # shifts past them, so ids keep matching the batch
+            # sessionizer's cumsum numbering.
+            pre = [t for t in ts_list if t < s - gap_us]
+            ts_list = ts_list[len(pre):]
+            ps, pe, pn = pre[0], pre[0], 1
+            pre_sessions = []
+            for t in pre[1:]:
+                if t - pe > gap_us:
+                    pre_sessions.append((ps, pe, pn))
+                    ps, pe, pn = t, t, 1
+                else:
+                    pe, pn = t, pn + 1
+            pre_sessions.append((ps, pe, pn))
+            for k, (ps, pe, pn) in enumerate(pre_sessions):
+                out.append((user_id, sid + k, pn, ps, pe))
+            sid += len(pre_sessions)
+        for t in ts_list:
             if s is None:
                 sid, s, e, n = sid + 1, t, t, 1
             elif t - e > gap_us:

@@ -176,6 +176,28 @@ def test_nema_local_equals_distributed(spark):
     ) == sorted(tuple(r) for r in dist.neighbour_argmins.collect())
 
 
+def test_nema_dispatch_same_errors(spark):
+    """ADVICE r3: the same malformed input must raise the IDENTICAL
+    error regardless of which size-dispatch branch runs — both paths
+    now go through one validation contract (check_rows_or_raise is the
+    driver-side twin of check_or_raise)."""
+    from fornax_spark.operators.nema import nema_match
+
+    qdf = spark.createDataFrame(QEDGES, "start long, end long")
+    tdf = spark.createDataFrame(TEDGES, "start long, end long")
+    loops = spark.createDataFrame([(5, 5)], "start long, end long")
+    badw = spark.createDataFrame([(1, 11, 1.5)], "v long, u long, weight double")
+    okm = spark.createDataFrame([(5, 11, 0.5)], "v long, u long, weight double")
+
+    for bad_args in ((loops, tdf, okm), (qdf, tdf, badw)):
+        msgs = []
+        for lt in (100_000, 0):
+            with pytest.raises(ValueError) as ei:
+                nema_match(*bad_args, local_threshold=lt)
+            msgs.append(str(ei.value))
+        assert msgs[0] == msgs[1], msgs
+
+
 def test_nema_local_path_validates(spark):
     from fornax_spark.operators.nema import nema_match
 

@@ -160,6 +160,81 @@ def test_late_in_gap_event_in_later_batch(spark, tmp_path):
     assert got[(0, 1)][0] == 3
 
 
+def test_pre_gap_late_event_emits_earlier_session(spark, tmp_path):
+    """ADVICE r3: a late event OLDER than the open session's start minus
+    the gap is a separate EARLIER session in batch semantics — the
+    stream must emit it as its own closed session(s) and renumber the
+    still-open session past them, keeping stream == batch. Covers one
+    pre-session (user 0) and two gap-separated pre-sessions (user 1)."""
+    from fornax_spark.operators.sessions import sessionize
+    from fornax_spark.streaming.stateful import sessionize_stream
+
+    t0 = datetime(2024, 1, 1)
+    batches = [
+        [
+            (0, t0 + timedelta(hours=1), "c", 1.0),
+            (0, t0 + timedelta(hours=1, minutes=5), "c", 1.0),
+            (1, t0 + timedelta(hours=2), "c", 1.0),
+        ],
+        [
+            # user 0: one pre-gap late event (t0 < open start - 30m)
+            (0, t0, "c", 1.0),
+            # user 1: two pre-gap late events, 1h apart -> TWO earlier
+            # sessions, open session renumbered by 2
+            (1, t0, "c", 1.0),
+            (1, t0 + timedelta(hours=0, minutes=2), "c", 1.0),
+            (1, t0 + timedelta(hours=1), "c", 1.0),
+        ],
+        [
+            (0, t0 + timedelta(hours=3), "c", 1.0),
+            (1, t0 + timedelta(hours=4), "c", 1.0),
+        ],
+        [(0, t0 + timedelta(days=30), "flush", 0.0),
+         (1, t0 + timedelta(days=30), "flush", 0.0)],
+    ]
+    src = tmp_path / "pregap_src"
+    src.mkdir()
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"p{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "p*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30, use_timeout=False)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pregap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pregap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.sql("SELECT * FROM pregap_out").collect()
+    }
+    real = [r for chunk in batches for r in chunk if r[2] != "flush"]
+    want = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(spark.createDataFrame(real, SCHEMA), gap_minutes=30)
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+        )
+        .collect()
+    }
+    assert got == want
+    # user 1: pre-sessions took ids 1, 2; the open session became 3
+    assert got[(1, 1)][0] == 2 and got[(1, 2)][0] == 1 and got[(1, 3)][0] == 1
+
+
 def test_session_numbering_survives_timeout(spark, tmp_path):
     """After a session is closed by the event-time TIMEOUT path, the
     user's next session must continue the cumsum numbering (sid=2), not
