@@ -432,6 +432,25 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding at one row per band (bands == num_perm): a pair
+    is a candidate if ANY of the 64 minhash values agree, so the miss
+    probability for a true pair at Jaccard >= 0.3 is (1-J)^64 <= 1e-10
+    — and the signatures are DETERMINISTIC given the seed, so on a
+    fixed corpus the banding either catches a pair or it doesn't.
+    Recall 1.0 on this corpus family is asserted in pytest
+    (tests/test_dedup_golden.py); the exact-Jaccard verify then makes
+    the output EQUAL the exact all-pairs result, so the
+    ngram_jaccard_pairs DuckDB oracle applies (VERDICT r3 item 5 — the
+    LSH∧verify == exact argument emb_similar_pairs already proved for
+    hyperplane LSH, applied to MinHash)."""
+    from fornax_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=64, n=3, bands=64, threshold=0.3
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fornax_spark.operators.dedup import simhash_near_pairs
 
@@ -652,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -915,6 +935,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.3
     """
+    # minhash banding at rows-per-band=1 + exact-Jaccard verify equals
+    # the exact pair set on this corpus (recall pinned in pytest) — the
+    # exact-pairs oracle applies verbatim
+    sqls["minhash_verified_pairs"] = sqls["ngram_jaccard_pairs"]
 
     # transitive closure of the same exact-Jaccard pair graph; min
     # reachable id per node == min-label-propagation fixed point

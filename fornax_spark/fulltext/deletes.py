@@ -102,33 +102,44 @@ def delete_docs(
         target = new_ids  # closure constant (small; broadcast with task)
 
         def scan(batches):
+            # batched over the whole Arrow frame (the np.repeat pattern
+            # from merge.blocks_to_postings): the only per-block Python
+            # work is the blob decode calls; masking, per-term counting
+            # and dl extraction run once over the concatenated batch
             for pdf in batches:
-                terms, cnts, docs_out, dls_out = [], [], [], []
-                for r in pdf.itertuples(index=False):
-                    n = int(r.n)
-                    docs = codec.delta_decode_docids(bytes(r.doc_blob), n)
-                    m = np.isin(docs, target, assume_unique=True)
-                    k = int(m.sum())
-                    if not k:
-                        continue
-                    dl = codec.decode_counts(bytes(r.dl_blob), n)
-                    terms.append(str(int(r.term_id)))
-                    cnts.append(k)
-                    docs_out.append(docs[m])
-                    dls_out.append(dl[m])
-                if not terms:
+                if not len(pdf):
                     continue
-                hit_docs = np.concatenate(docs_out)
-                hit_dls = np.concatenate(dls_out)
+                ns = pdf["n"].to_numpy(np.int64)
+                docs = np.concatenate(
+                    [
+                        codec.delta_decode_docids(bytes(b), int(n))
+                        for b, n in zip(pdf["doc_blob"], ns)
+                    ]
+                )
+                m = np.isin(docs, target)
+                if not m.any():
+                    continue
+                dls = np.concatenate(
+                    [
+                        codec.decode_counts(bytes(b), int(n))
+                        for b, n in zip(pdf["dl_blob"], ns)
+                    ]
+                )
+                term_rep = np.repeat(pdf["term_id"].to_numpy(np.int64), ns)
+                hit_terms, cnts = np.unique(term_rep[m], return_counts=True)
+                hit_docs = docs[m]
+                hit_dls = dls[m]
                 yield pd.DataFrame(
                     {
-                        "kind": ["df"] * len(terms) + ["dl"] * len(hit_docs),
-                        "term": terms + [""] * len(hit_docs),
+                        "kind": ["df"] * len(hit_terms)
+                        + ["dl"] * len(hit_docs),
+                        "term": [str(int(t)) for t in hit_terms]
+                        + [""] * len(hit_docs),
                         "doc_id": np.concatenate(
-                            [np.zeros(len(terms), np.int64), hit_docs]
+                            [np.zeros(len(hit_terms), np.int64), hit_docs]
                         ),
                         "val": np.concatenate(
-                            [np.array(cnts, np.int64), hit_dls]
+                            [cnts.astype(np.int64), hit_dls]
                         ),
                     }
                 )

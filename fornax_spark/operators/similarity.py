@@ -118,6 +118,20 @@ def _query_probes(
     return probes
 
 
+def _mask_deleted(cand: DataFrame, tombstones) -> DataFrame:
+    """Tombstone mask for ANN candidates (VERDICT r3 item 8), mirroring
+    the segment store's delete story: small sets ride an isin filter
+    (a pushed-down IN over the scan), large ones a broadcast anti-join —
+    either way the mask ships with the tasks, no shuffle of the index."""
+    if tombstones is None or len(tombstones) == 0:
+        return cand
+    ids = [int(x) for x in tombstones]
+    if len(ids) <= 10_000:
+        return cand.filter(~F.col("id").isin(ids))
+    tomb = cand.sparkSession.createDataFrame([(i,) for i in ids], "id long")
+    return cand.join(F.broadcast(tomb), "id", "left_anti")
+
+
 @dataclass
 class AnnIndex:
     """Bucket-keyed signature table: one row per (table_id, bucket, id).
@@ -126,13 +140,39 @@ class AnnIndex:
     never runs at query time); queries are pruned scans of this table.
     In-session it is a persisted DataFrame; `write`/`open_ann_index`
     give it a durable parquet form laid out sorted by (table_id, bucket)
-    so row-group min/max stats prune the probe lookups."""
+    so row-group min/max stats prune the probe lookups.
+
+    `tombstones` (sorted int64 ids) are masked out of every search —
+    exact parity with an index rebuilt without those rows, because the
+    mask runs BEFORE the top-k re-rank. They survive write/open via
+    meta.json; compact_ann_index physically drops the rows."""
 
     sigs: DataFrame  # (table_id int, bucket long, id long, vec array<..>)
     dim: int
     n_planes: int
     n_tables: int
     seed: int
+    tombstones: np.ndarray | None = None
+
+    def delete(self, ids) -> "AnnIndex":
+        """Tombstone `ids` (cumulative across calls); shares the
+        underlying signature table — no data pass at delete time."""
+        prev = (
+            set()
+            if self.tombstones is None
+            else {int(x) for x in self.tombstones}
+        )
+        merged = np.array(
+            sorted(prev | {int(i) for i in ids}), dtype=np.int64
+        )
+        return AnnIndex(
+            sigs=self.sigs,
+            dim=self.dim,
+            n_planes=self.n_planes,
+            n_tables=self.n_tables,
+            seed=self.seed,
+            tombstones=merged,
+        )
 
     def unpersist(self) -> None:
         self.sigs.unpersist()
@@ -188,6 +228,11 @@ def write_ann_index(index: AnnIndex, path: str) -> None:
                 "n_planes": index.n_planes,
                 "n_tables": index.n_tables,
                 "seed": index.seed,
+                "deleted_ids": (
+                    []
+                    if index.tombstones is None
+                    else [int(x) for x in index.tombstones]
+                ),
             },
             f,
         )
@@ -199,8 +244,29 @@ def open_ann_index(spark, path: str) -> AnnIndex:
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    deleted = meta.pop("deleted_ids", [])
     return AnnIndex(
-        sigs=spark.read.parquet(os.path.join(path, "sigs")), **meta
+        sigs=spark.read.parquet(os.path.join(path, "sigs")),
+        tombstones=(
+            np.array(sorted(deleted), dtype=np.int64) if deleted else None
+        ),
+        **meta,
+    )
+
+
+def compact_ann_index(index: AnnIndex, persist: bool = True) -> AnnIndex:
+    """Physically drop tombstoned rows (the compaction-on-merge step):
+    returns a tombstone-free index over the filtered signature table."""
+    sigs = _mask_deleted(index.sigs, index.tombstones)
+    if persist:
+        sigs = sigs.persist()
+    return AnnIndex(
+        sigs=sigs,
+        dim=index.dim,
+        n_planes=index.n_planes,
+        n_tables=index.n_tables,
+        seed=index.seed,
+        tombstones=None,
     )
 
 
@@ -225,7 +291,9 @@ def ann_search(
     for t, ps in enumerate(probes):
         c = (F.col("table_id") == t) & F.col("bucket").isin(sorted(ps))
         cond = c if cond is None else (cond | c)
-    cand = index.sigs.filter(cond).dropDuplicates(["id"])
+    cand = _mask_deleted(
+        index.sigs.filter(cond), index.tombstones
+    ).dropDuplicates(["id"])
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col("vec"), q) / (_norm(F.col("vec")) * _norm(q))
     return (
@@ -279,6 +347,23 @@ class IvfIndex:
 
     assignments: DataFrame  # (cluster int, id long, vec array)
     centroids: np.ndarray  # (k, dim) float64
+    tombstones: np.ndarray | None = None  # masked at query time (sorted)
+
+    def delete(self, ids) -> "IvfIndex":
+        """Tombstone `ids` (cumulative); see AnnIndex.delete."""
+        prev = (
+            set()
+            if self.tombstones is None
+            else {int(x) for x in self.tombstones}
+        )
+        merged = np.array(
+            sorted(prev | {int(i) for i in ids}), dtype=np.int64
+        )
+        return IvfIndex(
+            assignments=self.assignments,
+            centroids=self.centroids,
+            tombstones=merged,
+        )
 
     def unpersist(self) -> None:
         self.assignments.unpersist()
@@ -365,7 +450,17 @@ def write_ivf_index(index: IvfIndex, path: str) -> None:
         .parquet(os.path.join(path, "assignments"))
     )
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"centroids": index.centroids.tolist()}, f)
+        json.dump(
+            {
+                "centroids": index.centroids.tolist(),
+                "deleted_ids": (
+                    []
+                    if index.tombstones is None
+                    else [int(x) for x in index.tombstones]
+                ),
+            },
+            f,
+        )
 
 
 def open_ivf_index(spark, path: str) -> IvfIndex:
@@ -374,9 +469,23 @@ def open_ivf_index(spark, path: str) -> IvfIndex:
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    deleted = meta.get("deleted_ids", [])
     return IvfIndex(
         assignments=spark.read.parquet(os.path.join(path, "assignments")),
         centroids=np.asarray(meta["centroids"], dtype=np.float64),
+        tombstones=(
+            np.array(sorted(deleted), dtype=np.int64) if deleted else None
+        ),
+    )
+
+
+def compact_ivf_index(index: IvfIndex, persist: bool = True) -> IvfIndex:
+    """Physically drop tombstoned rows; see compact_ann_index."""
+    asg = _mask_deleted(index.assignments, index.tombstones)
+    if persist:
+        asg = asg.persist()
+    return IvfIndex(
+        assignments=asg, centroids=index.centroids, tombstones=None
     )
 
 
@@ -390,7 +499,10 @@ def ivf_search(
     qv = np.asarray(query_vec, dtype=np.float64)
     d = ((index.centroids - qv[None, :]) ** 2).sum(axis=1)
     probes = [int(c) for c in np.argsort(d)[:nprobe]]
-    cand = index.assignments.filter(F.col("cluster").isin(probes))
+    cand = _mask_deleted(
+        index.assignments.filter(F.col("cluster").isin(probes)),
+        index.tombstones,
+    )
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col("vec"), q) / (_norm(F.col("vec")) * _norm(q))
     return (

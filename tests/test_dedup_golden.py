@@ -76,6 +76,30 @@ def test_minhash_pairs_golden(spark, docs):
     assert {(a, b) for a, b, _ in got} <= exact
 
 
+def test_minhash_verified_recall_one(spark, docs):
+    """The driver entry's parameterization (bands == num_perm, i.e. one
+    row per band: candidate iff ANY of the 64 minhash values agree)
+    reaches recall 1.0 on this corpus — the banding∧exact-verify output
+    EQUALS the exact all-pairs Jaccard result, which is what licenses
+    minhash_verified_pairs to share the ngram_jaccard_pairs DuckDB
+    oracle (VERDICT r3 item 5)."""
+    df, texts = docs
+    sh = {i: set(ngrams_py(tokenize(t), N)) for i, t in texts.items()}
+    exact = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        union = sh[a] | sh[b]
+        if union and len(sh[a] & sh[b]) / len(union) >= T:
+            exact.add((a, b, round(len(sh[a] & sh[b]) / len(union), 6)))
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(
+            df, num_perm=NUM_PERM, n=N, bands=NUM_PERM, threshold=T
+        ).collect()
+    }
+    assert got == exact
+    assert exact  # fixture must exercise the path
+
+
 def test_ann_lsh_topk_golden(spark):
     """The LSH ANN entry == a numpy oracle replaying the same planes,
     probes and exact cosine re-rank — full-output equality, not a recall

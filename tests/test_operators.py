@@ -224,6 +224,82 @@ def test_ivf_index_full_probe_exact_and_pruned_recall(spark):
     index.unpersist()
 
 
+def test_ann_and_ivf_delete_parity(spark, tmp_path):
+    """VERDICT r3 item 8: tombstoned ids must vanish from ann_search /
+    ivf_search with results EQUAL to an index rebuilt without those
+    docs; tombstones survive the durable round-trip; compaction drops
+    the rows physically and preserves results."""
+    from fornax_spark.operators.similarity import (
+        ann_search,
+        build_ann_index,
+        build_ivf_index,
+        compact_ann_index,
+        compact_ivf_index,
+        cosine_topk,
+        ivf_search,
+        open_ann_index,
+        open_ivf_index,
+        write_ann_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(6)
+    qv = rng.standard_normal(16)
+    qv /= np.linalg.norm(qv)
+    vecs = np.vstack(
+        [qv[None, :] + 0.25 * rng.standard_normal((10, 16)),
+         rng.standard_normal((190, 16))]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in qv]
+
+    # --- LSH --------------------------------------------------------
+    index = build_ann_index(df, dim=16, n_planes=8, n_tables=4)
+    top = [r["id"] for r in ann_search(index, q, k=10).collect()]
+    dels = top[:3]  # delete docs that currently surface in the top-k
+    deleted = index.delete(dels)
+    survivors = df.filter(~F.col("vec_id").isin(dels))
+    rebuilt = build_ann_index(
+        survivors, dim=16, n_planes=8, n_tables=4, persist=False
+    )
+    want = [tuple(r) for r in ann_search(rebuilt, q, k=10).collect()]
+    got = [tuple(r) for r in ann_search(deleted, q, k=10).collect()]
+    assert got == want and not (set(dels) & {i for i, _c in got})
+    # durable round-trip keeps the tombstones
+    write_ann_index(deleted, str(tmp_path / "ann_del"))
+    reopened = open_ann_index(spark, str(tmp_path / "ann_del"))
+    assert [tuple(r) for r in ann_search(reopened, q, k=10).collect()] == want
+    # compaction: physically gone, same results
+    compacted = compact_ann_index(deleted, persist=False)
+    assert compacted.tombstones is None
+    assert compacted.sigs.filter(F.col("id").isin(dels)).count() == 0
+    assert [tuple(r) for r in ann_search(compacted, q, k=10).collect()] == want
+    index.unpersist()
+
+    # --- IVF (full probe == brute force, so parity is exact) --------
+    ivf = build_ivf_index(df, dim=16, n_clusters=8)
+    ivf_del = ivf.delete(dels)
+    want_ivf = [tuple(r) for r in cosine_topk(survivors, q, k=10).collect()]
+    assert [
+        tuple(r) for r in ivf_search(ivf_del, q, k=10, nprobe=8).collect()
+    ] == want_ivf
+    write_ivf_index(ivf_del, str(tmp_path / "ivf_del"))
+    ivf_re = open_ivf_index(spark, str(tmp_path / "ivf_del"))
+    assert [
+        tuple(r) for r in ivf_search(ivf_re, q, k=10, nprobe=8).collect()
+    ] == want_ivf
+    ivf_c = compact_ivf_index(ivf_del, persist=False)
+    assert ivf_c.tombstones is None
+    assert ivf_c.assignments.filter(F.col("id").isin(dels)).count() == 0
+    assert [
+        tuple(r) for r in ivf_search(ivf_c, q, k=10, nprobe=8).collect()
+    ] == want_ivf
+    ivf.unpersist()
+
+
 def test_ivf_index_durable_roundtrip_and_determinism(spark, tmp_path):
     """write_ivf_index/open_ivf_index round-trips centroids +
     assignments; centroids are layout-independent (orderBy-limit
