@@ -93,6 +93,23 @@ def _ft_index(spark: SparkSession, sf_dir: str):
     return _FT_INDEX_CACHE[sf_dir]
 
 
+def _cleanup_store_dirs() -> None:
+    # atexit: the per-corpus segment stores live on tmpfs under tempdirs
+    # owned by this process — remove them so repeated driver/bench runs
+    # don't accumulate dead stores in /dev/shm (fs-only; the JVM may
+    # already be gone at interpreter shutdown)
+    import shutil as _shutil
+
+    for store in _FT_STORE_CACHE.values():
+        _shutil.rmtree(store.path, ignore_errors=True)
+    _FT_STORE_CACHE.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_store_dirs)
+
+
 def reset_ft_caches() -> None:
     """Benchmark support (VERDICT r3 item 1): drop the per-corpus
     index/store caches — unpersist the postings, delete the tmpfs
@@ -441,6 +458,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: the KEEP LIST a training pipeline
+    feeds downstream — every document except non-canonical members of a
+    near-dup cluster (exact n-gram Jaccard pairs → connected components
+    → keep each cluster's min doc_id). Anti-join, so kept docs never
+    shuffle their text. Oracle: documents anti-joined against the
+    recursive-CTE closure's non-canonical members."""
+    from fornax_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+    drop = (
+        dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate candidate generation -> rows-only driver check; the
     # exact-Jaccard verification path is SQL-checked via
@@ -690,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -994,6 +1031,22 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
     """
+
+    # keep list: same recursive closure, anti-joined against documents
+    sqls["dedup_keep"] = (
+        sqls["dedup_clusters"].rstrip()[: -len(
+            "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"
+        )]
+        + """, clusters AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN (
+          SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
+        ) x ON d.doc_id = x.doc_id
+        WHERE x.doc_id IS NULL
+    """
+    )
 
     sqls["ann_cosine_topk"] = """
         WITH q AS (

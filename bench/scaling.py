@@ -60,27 +60,28 @@ def _stage_totals():
     base = spark.sparkContext.uiWebUrl
     apps = json.load(urllib.request.urlopen(base + "/api/v1/applications"))
     app_id = apps[0]["id"]
-    run = cpu = 0
+    run = cpu = gc = 0
     for status in ("complete",):
         stages = json.load(urllib.request.urlopen(
             base + "/api/v1/applications/" + app_id + "/stages?status=" + status
         ))
         run += sum(s.get("executorRunTime", 0) for s in stages)
         cpu += sum(s.get("executorCpuTime", 0) for s in stages)
-    return run / 1e3, cpu / 1e9
+        gc += sum(s.get("jvmGcTime", 0) for s in stages)
+    return run / 1e3, cpu / 1e9, gc / 1e3
 
 
 def _timed(fn, reps):
-    # best-of-N wall clock; task/cpu deltas reported FOR THE BEST REP so
-    # wall and task time describe the same execution
+    # best-of-N wall clock; task/cpu/gc deltas reported FOR THE BEST REP
+    # so wall and task time describe the same execution
     best = None
     for rep in range(reps):
-        r0, c0 = _stage_totals()
+        r0, c0, g0 = _stage_totals()
         t0 = time.time()
         ret = fn(rep)
         secs = time.time() - t0
-        r1, c1 = _stage_totals()
-        row = (secs, r1 - r0, c1 - c0, ret)
+        r1, c1, g1 = _stage_totals()
+        row = (secs, r1 - r0, c1 - c0, g1 - g0, ret)
         if best is None or secs < best[0]:
             best = row
     return best
@@ -104,7 +105,7 @@ def _build(rep):
     _idx_box.append(idx)
     return idx
 
-build_secs, build_task, build_cpu, _ = _timed(_build, 2)
+build_secs, build_task, build_cpu, build_gc, _ = _timed(_build, 2)
 idx = _idx_box[-1]  # the still-persisted (last) build feeds the next stage
 n_docs = idx.stats.n_docs
 n_postings = idx.postings.count()
@@ -118,7 +119,7 @@ def _segs(rep):
         d = json.load(f).get("dict_secs", 0.0)
     return store, d
 
-seg_secs, seg_task, seg_cpu, (store, dict_secs) = _timed(_segs, 2)
+seg_secs, seg_task, seg_cpu, seg_gc, (store, dict_secs) = _timed(_segs, 2)
 
 import pandas as pd
 q1 = reference_queries()
@@ -127,7 +128,7 @@ queries = pd.concat(
     [q1.assign(query_id=q1["query_id"] + i * len(q1)) for i in range(4)],
     ignore_index=True,
 )
-qb_secs, qb_task, qb_cpu, _ = _timed(
+qb_secs, qb_task, qb_cpu, qb_gc, _ = _timed(
     lambda rep: search_segments_batch(spark, store, queries).count(), 3
 )
 
@@ -141,7 +142,7 @@ queries_1k = pd.concat(
     [q1.assign(query_id=q1["query_id"] + i * len(q1)) for i in range(mult_1k)],
     ignore_index=True,
 )
-q1k_secs, q1k_task, q1k_cpu, _ = _timed(
+q1k_secs, q1k_task, q1k_cpu, q1k_gc, _ = _timed(
     lambda rep: search_segments_batch(spark, store, queries_1k).count(), 2
 )
 
@@ -154,6 +155,7 @@ print("RESULT " + json.dumps({
     "postings_per_sec": round(n_postings / build_secs, 1),
     "build_task_secs": round(build_task, 2),
     "build_cpu_secs": round(build_cpu, 2),
+    "build_gc_secs": round(build_gc, 2),
     "segment_build_secs": round(seg_secs, 2),
     "segment_docs_per_sec": round(n_docs / seg_secs, 1),
     "segment_dict_secs": round(dict_secs, 2),
@@ -161,15 +163,18 @@ print("RESULT " + json.dumps({
     "segment_encode_docs_per_sec": round(n_docs / (seg_secs - dict_secs), 1),
     "segment_task_secs": round(seg_task, 2),
     "segment_cpu_secs": round(seg_cpu, 2),
+    "segment_gc_secs": round(seg_gc, 2),
     "query_batch_secs": round(qb_secs, 2),
     "qps": round(len(queries) / qb_secs, 1),
     "query_task_secs": round(qb_task, 2),
     "query_cpu_secs": round(qb_cpu, 2),
+    "query_gc_secs": round(qb_gc, 2),
     "n_queries_1k": len(queries_1k),
     "query_batch1k_secs": round(q1k_secs, 2),
     "qps_1k": round(len(queries_1k) / q1k_secs, 1),
     "query1k_task_secs": round(q1k_task, 2),
     "query1k_cpu_secs": round(q1k_cpu, 2),
+    "query1k_gc_secs": round(q1k_gc, 2),
 }))
 spark.stop()
 import shutil
@@ -233,6 +238,52 @@ def cpu_control(workers_a: int = 2, workers_b: int = 8) -> float:
     return (rb / ra) / (workers_b / workers_a)
 
 
+def _codec_burn(n_blocks: int) -> int:
+    """One worker's share of the CODEC-MATCHED control: the repo's own
+    delta+varint kernels over realistic posting blocks — the same
+    numpy-memory-bound instruction mix the segment encode runs, with
+    zero Spark. Used to measure the HOST's delivered ceiling for this
+    workload class at encode's busy-thread counts."""
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from fornax_spark.fulltext import codec
+
+    rng = np.random.default_rng(0)
+    docs = np.sort(rng.choice(10_000_000, size=128, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=128).astype(np.int64)
+    s = 0
+    for _ in range(n_blocks):
+        b1 = codec.delta_encode_docids(docs)
+        b2 = codec.encode_counts(tfs)
+        s += len(codec.delta_decode_docids(b1, 128)) + len(
+            codec.decode_counts(b2, 128)
+        )
+    return s
+
+
+def mem_control(workers_a: int = 4, workers_b: int = 16,
+                blocks: int = 3000) -> float:
+    """Codec-matched host control (VERDICT r3 item 2): how much of ideal
+    scaling the MACHINE delivers for the encode kernel's own
+    numpy/memory-bound instruction mix between the two busy-thread
+    counts the 2→8 Spark comparison actually exercises (~2 busy threads
+    per encode task: JVM + Arrow python worker). A ceiling here is a
+    HOST property — the identical per-worker work runs with no Spark,
+    no shuffle, no shared JVM heap."""
+    import multiprocessing as mp
+    import time as _t
+
+    def rate(workers: int) -> float:
+        t0 = _t.time()
+        with mp.Pool(workers) as p:
+            p.map(_codec_burn, [blocks] * workers)
+        return workers * blocks / (_t.time() - t0)
+
+    ra, rb = rate(workers_a), rate(workers_b)
+    return (rb / ra) / (workers_b / workers_a)
+
+
 def gen_corpus(docs: int, pages_path: str) -> None:
     gen = (
         "import sys; sys.path.insert(0, %r);\n"
@@ -272,6 +323,11 @@ def main() -> None:
         help="only materialize the corpus at --pages and exit",
     )
     ap.add_argument(
+        "--mem-control", action="store_true",
+        help="run the codec-matched memory-bound host control (4 vs 16 "
+        "workers) once and print its efficiency-of-ideal",
+    )
+    ap.add_argument(
         "--combine", nargs="+", default=None, metavar="JSONL",
         help="combine --one-level JSONL files into the final "
         "scaling_<low>_<high>.json (rows carry their own core counts)",
@@ -280,6 +336,13 @@ def main() -> None:
 
     if args.gen_only:
         gen_corpus(args.docs, args.pages)
+        return
+
+    if args.mem_control:
+        print(json.dumps({
+            "codec_mem_control_4_16": round(mem_control(4, 16), 3),
+            "cpu_control_2_8": round(cpu_control(), 3),
+        }))
         return
 
     if args.one_level is not None:
@@ -343,10 +406,11 @@ def finish(args, lo_reps: list[dict], hi_reps: list[dict]) -> None:
     sec_keys = ["build_secs", "segment_build_secs", "segment_dict_secs",
                 "segment_encode_write_secs", "query_batch_secs",
                 "query_batch1k_secs",
-                "build_task_secs", "build_cpu_secs",
-                "segment_task_secs", "segment_cpu_secs",
-                "query_task_secs", "query_cpu_secs",
-                "query1k_task_secs", "query1k_cpu_secs"]
+                "build_task_secs", "build_cpu_secs", "build_gc_secs",
+                "segment_task_secs", "segment_cpu_secs", "segment_gc_secs",
+                "query_task_secs", "query_cpu_secs", "query_gc_secs",
+                "query1k_task_secs", "query1k_cpu_secs",
+                "query1k_gc_secs"]
 
     def best_per_metric(reps: list[dict]) -> dict:
         out = dict(reps[0])

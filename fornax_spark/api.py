@@ -419,6 +419,11 @@ class GraphHandle:
             if r["start"] < r["end"]
         )
 
+    def nodes_df(self):
+        """The (node_id, meta) node DataFrame — the distributed read
+        accessor matching edges_df (nodes() collects; this doesn't)."""
+        return self.conn.spark.read.parquet(self._nodes_path())
+
     def edges_df(self):
         """The doubled (start, end) edge DataFrame — the distributed
         input to nema_match at scale."""
