@@ -79,7 +79,7 @@ def _score_one_query(
     prune: bool,
     n_docs: int,
     avgdl: float,
-    decode,
+    scored,
     tomb=None,
 ):
     """MaxScore-pruned scoring of ONE query against one bucket's blocks.
@@ -87,8 +87,9 @@ def _score_one_query(
     by_term: term_id -> block rows (namedtuples) for this bucket; term
     ids are rank-of-sorted-term (segments.build_dictionary), so every
     ascending-term ordering contract holds on the ints unchanged.
-    decode: (term_id, row) -> (docs, tf, dl) — injectable so the batch
-    path can share a per-block decode cache across queries.
+    scored: (term_id, row, df_t) -> (alive docs, BM25 contributions) —
+    injectable (_make_scored_cache) so the batch path shares per-block
+    decode + tombstone-mask + float work across queries.
     Returns (docs, scores) arrays or None if no term matches.
 
     Both the single-query and the batch kernel run THIS routine, so
@@ -143,7 +144,8 @@ def _score_one_query(
         if not open_admission and len(acc_docs) == 0:
             break
         rows = by_term[t]
-        d_parts, tf_parts, dl_parts = [], [], []
+        df_t = df_of[t]
+        d_parts, c_parts = [], []
         for row in rows:
             if not open_admission:
                 # block skip: fence must intersect candidate set
@@ -151,28 +153,19 @@ def _score_one_query(
                 hi = np.searchsorted(acc_docs, row.last_doc, "right")
                 if lo == hi:
                     continue
-            docs, tf, dl = decode(t, row)
-            if tomb is not None and len(tomb.doc_ids):
-                alive = ~np.isin(docs, tomb.doc_ids, assume_unique=True)
-                if not alive.any():
-                    continue
-                docs, tf, dl = docs[alive], tf[alive], dl[alive]
+            docs, contrib = scored(t, row, df_t)
+            if not len(docs):
+                continue
             if not open_admission:
                 m = np.isin(docs, acc_docs, assume_unique=True)
                 if not m.any():
                     continue
-                docs, tf, dl = docs[m], tf[m], dl[m]
+                docs, contrib = docs[m], contrib[m]
             d_parts.append(docs)
-            tf_parts.append(tf)
-            dl_parts.append(dl)
+            c_parts.append(contrib)
         if d_parts:
             docs = np.concatenate(d_parts)
-            tf = np.concatenate(tf_parts)
-            dl = np.concatenate(dl_parts)
-            df_t = df_of[t]
-            contrib = bm25.term_score(
-                tf, dl, np.full(len(tf), df_t), n_docs, avgdl
-            )
+            contrib = np.concatenate(c_parts)
             trip_d.append(docs)
             trip_r.append(np.full(len(docs), rank_of[t], dtype=np.int64))
             trip_c.append(contrib)
@@ -213,19 +206,37 @@ def _group_blocks_by_term(pdf: pd.DataFrame) -> dict[int, list]:
     return by_term
 
 
-def _make_decode_cache():
-    """Per-block decode memo keyed by (term_id, block_id) — shared across
-    the queries of a batch so each block is decompressed at most once
-    per bucket regardless of how many queries touch its term."""
+def _make_scored_cache(n_docs: int, avgdl: float, tomb=None):
+    """Per-block memo keyed by (term_id, block_id) of the fully SCORED
+    block: (alive docs, their BM25 contributions). The contribution of
+    term t to doc d — idf(df_t) x tf-saturation(tf, dl) — depends only
+    on the term and corpus stats, never on the query, so in batch mode
+    each block is decompressed, tombstone-masked AND scored at most once
+    per bucket regardless of how many queries touch its term (the
+    decode-only cache this replaces still recomputed the float math per
+    query)."""
     cache: dict[tuple[int, int], tuple] = {}
 
-    def decode(t: int, row):
+    def scored(t: int, row, df_t: int):
         key = (t, int(row.block_id))
-        if key not in cache:
-            cache[key] = _decode_block(row)
-        return cache[key]
+        hit = cache.get(key)
+        if hit is None:
+            docs, tf, dl = _decode_block(row)
+            if tomb is not None and len(tomb.doc_ids):
+                alive = ~np.isin(docs, tomb.doc_ids, assume_unique=True)
+                docs, tf, dl = docs[alive], tf[alive], dl[alive]
+            contrib = (
+                bm25.term_score(
+                    tf, dl, np.full(len(tf), df_t), n_docs, avgdl
+                )
+                if len(tf)
+                else np.empty(0, dtype=np.float64)
+            )
+            hit = (docs, contrib)
+            cache[key] = hit
+        return hit
 
-    return decode
+    return scored
 
 
 def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float, tomb=None):
@@ -235,7 +246,7 @@ def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float, tomb=No
         by_term = _group_blocks_by_term(pdf)
         res = _score_one_query(
             by_term, list(by_term), k, prune, n_docs, avgdl,
-            _make_decode_cache(), tomb,
+            _make_scored_cache(n_docs, avgdl, tomb), tomb,
         )
         if res is None:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -258,12 +269,12 @@ def _score_bucket_kernel_batch(
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         by_term = _group_blocks_by_term(pdf)
-        decode = _make_decode_cache()
+        scored = _make_scored_cache(n_docs, avgdl, tomb)
 
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in queries:
             res = _score_one_query(
-                by_term, terms, k, prune, n_docs, avgdl, decode, tomb
+                by_term, terms, k, prune, n_docs, avgdl, scored, tomb
             )
             if res is None:
                 continue
@@ -341,15 +352,27 @@ def search_segments_batch(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
-    ks = spark.createDataFrame(
-        [(qid, k) for qid, _t, k in qs], "query_id long, k int"
-    )
-    return (
-        per_bucket.join(F.broadcast(ks), "query_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
+    ranked = per_bucket.withColumn("rank", F.row_number().over(w))
+    if len(qs) <= 2000:
+        # per-query k is a driver-side constant: a literal map beats a
+        # broadcast join here — one less exchange, and (under AQE) one
+        # less broadcast-materialization job on the batch's latency
+        # floor, which is what the small-batch QPS scaling pays for
+        kmap = F.create_map(
+            *[F.lit(v) for qid, _t, k in qs for v in (qid, k)]
+        )
+        ranked = ranked.filter(F.col("rank") <= kmap[F.col("query_id")])
+    else:
+        # huge query batches: expression size would explode — fall back
+        # to the broadcast join
+        ks = spark.createDataFrame(
+            [(qid, k) for qid, _t, k in qs], "query_id long, k int"
+        )
+        ranked = ranked.join(F.broadcast(ks), "query_id").filter(
+            F.col("rank") <= F.col("k")
+        )
+    return ranked.select("query_id", "rank", "doc_id", "score").orderBy(
+        "query_id", "rank"
     )
 
 
