@@ -174,6 +174,23 @@ def main() -> None:
         timings["ft_query_batch20"] = round(batch_secs, 3)
         qps = len(qtexts) / batch_secs
 
+        # bucketed-table store form: same kernel, no blob shuffle at
+        # query time (Catalyst's bucketed scan satisfies the grouping
+        # distribution) — results are bit-identical (plan+equality
+        # tested in tests/test_plans.py)
+        from fornax_spark.fulltext.segments import as_bucketed_table
+
+        bstore = as_bucketed_table(spark, store, "bench_bucketed_store")
+        blat = []
+        for _ in range(3):
+            t0 = time.time()
+            search_segments_batch(spark, bstore, qpdf).count()
+            blat.append(time.time() - t0)
+        blat.sort()
+        timings["ft_query_batch20_bucketed"] = round(blat[0], 3)
+        qps_bucketed = len(qtexts) / blat[0]
+        spark.sql("DROP TABLE IF EXISTS bench_bucketed_store")
+
         # single-query latency distribution (p50 / p95 over the set)
         from fornax_spark.fulltext.wand import search_segments
 
@@ -206,6 +223,7 @@ def main() -> None:
         "bytes_raw_postings": n_postings * 24,
         "bytes_compressed_segments": bytes_compressed,
         "query_qps_batch": round(qps, 1),
+        "query_qps_batch_bucketed": round(qps_bucketed, 1),
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(p95, 3),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),

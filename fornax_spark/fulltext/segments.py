@@ -285,6 +285,58 @@ class SegmentStore:
         return {r["term"]: int(r["term_id"]) for r in rows}
 
 
+@dataclass
+class BucketedSegmentStore(SegmentStore):
+    """A SegmentStore whose blocks live in a Spark BUCKETED TABLE
+    (`bucketBy` on the bucket column). The bucketed scan's output
+    partitioning (HashPartitioning on `bucket`) satisfies the
+    ClusteredDistribution that `groupBy("bucket").applyInPandas`
+    requires, so Catalyst drops the exchange the plain parquet layout
+    pays on every query batch — the compressed block blobs are never
+    shuffled at query time (plan-asserted in tests/test_plans.py).
+
+    Dictionary, ledger, stats and the tombstone manifest stay in the
+    original store DIRECTORY (`path`); only the blocks move into the
+    catalog table. With the default in-memory catalog the table
+    metadata is session-scoped (data files persist under the warehouse
+    dir); on a cluster, a persistent metastore (or Iceberg's
+    bucket-transform partitioning) makes the layout durable — the query
+    path is identical either way."""
+
+    table: str = ""
+
+    def blocks(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.table)
+
+
+def as_bucketed_table(
+    spark: SparkSession,
+    store: SegmentStore,
+    table_name: str,
+    table_buckets: int | None = None,
+) -> BucketedSegmentStore:
+    """Publish an existing store's blocks as a bucketed table (one-time
+    rewrite, sorted by (term_id, block_id) within table buckets so the
+    pushed term filter keeps row-group pruning) and return the
+    shuffle-free-query handle."""
+    tb = table_buckets or store.n_buckets
+    (
+        store.blocks(spark)
+        .write.bucketBy(tb, "bucket")
+        .sortBy("term_id", "block_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+    return BucketedSegmentStore(
+        path=store.path,
+        n_docs=store.n_docs,
+        avgdl=store.avgdl,
+        n_buckets=store.n_buckets,
+        table=table_name,
+    )
+
+
 def _ledger_path(path: str) -> str:
     return os.path.join(path, "ledger.json")
 

@@ -66,6 +66,11 @@ def get_spark(
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
+        # saveAsTable data (e.g. the bucketed segment-store form) lands
+        # on tmpfs too, never inside the repo working directory
+        b = b.config(
+            "spark.sql.warehouse.dir", "/dev/shm/spark-warehouse"
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

@@ -80,3 +80,40 @@ def test_query_broadcasts_terms_not_index(spark, docs):
     # (postings) must never be shuffled for the join
     assert "SortMergeJoin" not in plan, plan
     idx.postings.unpersist()
+
+
+def test_bucketed_store_query_skips_blob_shuffle(spark, tmp_path):
+    """The bucketed-table store form must answer the SAME results as the
+    plain parquet layout while the plan shows NO exchange on the bucket
+    key — Catalyst's bucketed scan satisfies the grouping distribution,
+    so the compressed block blobs never shuffle at query time. The
+    plain layout's plan must show that exchange (that's what the
+    bucketed form removes)."""
+    import pandas as pd
+
+    from fornax_spark.fulltext.segments import as_bucketed_table, build_segments
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 37} tok{i % 11}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_table(docs)
+    store = build_segments(spark, idx, str(tmp_path / "seg"), n_buckets=8)
+    bstore = as_bucketed_table(spark, store, "bstore_plan_test")
+    qpdf = pd.DataFrame(
+        {"query_id": [0, 1], "query_text": ["alpha tok3", "beta gamma"], "k": 5}
+    )
+    plain = search_segments_batch(spark, store, qpdf)
+    bucketed = search_segments_batch(spark, bstore, qpdf)
+    assert [tuple(r) for r in bucketed.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+    assert "hashpartitioning(bucket" in physical_plan(plain), physical_plan(
+        plain
+    )
+    assert "hashpartitioning(bucket" not in physical_plan(
+        bucketed
+    ), physical_plan(bucketed)
+    idx.postings.unpersist()
+    spark.sql("DROP TABLE IF EXISTS bstore_plan_test")
