@@ -320,6 +320,15 @@ def as_bucketed_table(
     pushed term filter keeps row-group pruning) and return the
     shuffle-free-query handle."""
     tb = table_buckets or store.n_buckets
+    # the warehouse DIRECTORY outlives the in-memory catalog (a fresh
+    # session doesn't know the table but its location still exists, and
+    # mode("overwrite") can only overwrite tables the catalog knows) —
+    # drop both the table and any stale location before writing
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (
         store.blocks(spark)
         .write.bucketBy(tb, "bucket")
