@@ -100,7 +100,10 @@ def main() -> None:
         # cross-section halves. The remaining ft_* entries ride the
         # final rep's warm cache exactly as before.
         if name == "ft_bm25_topk":
-            reps, reset = 2, entry_mod.reset_ft_caches
+            # best-of-3: the heaviest entry is the one a wandering host
+            # stall hurts most, and a rep is ~2.5 s when the host is
+            # healthy — cheap insurance for the artifact
+            reps, reset = 3, entry_mod.reset_ft_caches
         elif name.startswith("ft_"):
             reps, reset = 1, None
         else:
