@@ -128,6 +128,9 @@ def reset_ft_caches() -> None:
     for store in _FT_STORE_CACHE.values():
         _shutil.rmtree(store.path, ignore_errors=True)
     _FT_STORE_CACHE.clear()
+    # bucketed handles point at the directory stores deleted above;
+    # the table itself is re-droppable by the next as_bucketed_table
+    _FT_BSTORE_CACHE.clear()
 
 
 def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,6 +175,39 @@ def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = search_segments(spark, _FT_STORE_CACHE[sf_dir], FT_QUERY, k=FT_K)
     return out.select("rank", "doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
+_FT_BSTORE_CACHE: dict[str, object] = {}
+
+
+def _ft_bucketed_store(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _FT_BSTORE_CACHE:
+        # reuse the directory store, publish its blocks once as the
+        # bucketed table (segments.as_bucketed_table): the bucketed scan
+        # satisfies the per-bucket kernel's distribution, so the blobs
+        # never shuffle at query time — at 100 TB this is the default
+        # store form, so it gets its own oracle-gated entry
+        q_ft_bm25_topk_segments(spark, sf_dir)  # ensure store exists
+        from fornax_spark.fulltext.segments import as_bucketed_table
+
+        _FT_BSTORE_CACHE[sf_dir] = as_bucketed_table(
+            spark, _FT_STORE_CACHE[sf_dir], "entry_bucketed_store"
+        )
+    return _FT_BSTORE_CACHE[sf_dir]
+
+
+def q_ft_bm25_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query and oracle as ft_bm25_topk_segments, answered from the
+    BUCKETED-TABLE store form (VERDICT r4 item 3): results are
+    bit-identical (plan-asserted in tests/test_plans.py) and the plan
+    has no exchange on the bucket key."""
+    from fornax_spark.fulltext.wand import search_segments
+
+    out = search_segments(spark, _ft_bucketed_store(spark, sf_dir),
+                          FT_QUERY, k=FT_K)
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
 
 
 def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_topk_segments": q_ft_bm25_topk_segments,
+        "ft_bm25_topk_bucketed": q_ft_bm25_topk_bucketed,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -744,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["ft_bm25_topk"] = BM25_SQL
     sqls["ft_bm25_topk_segments"] = BM25_SQL
+    # bit-identical to the segment path by the bucketed-store plan test
+    sqls["ft_bm25_topk_bucketed"] = BM25_SQL
 
     sqls["ft_postings"] = f"""
         SELECT term, doc_id, count(*)::BIGINT AS tf

@@ -123,9 +123,22 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
 
-    t0 = time.time()
-    idx = build_index_from_table(docs, "doc_id", "text")
-    df_build_secs = time.time() - t0
+    # best-of-2 with an honest reset between reps (VERDICT r4 item 5:
+    # driver and builder artifacts disagreed 1.4x on this entry under
+    # host swing — same protocol as ft_bm25_topk): each rep unpersists
+    # the previous postings and rebuilds the whole path from the
+    # parquet scan
+    df_build_secs = None
+    idx = None
+    for _ in range(2):
+        if idx is not None:
+            idx.postings.unpersist()
+        t0 = time.time()
+        idx = build_index_from_table(docs, "doc_id", "text")
+        secs = time.time() - t0
+        df_build_secs = (
+            secs if df_build_secs is None else min(df_build_secs, secs)
+        )
     n_postings = idx.postings.count()
     timings["ft_index_build"] = round(df_build_secs, 3)
 

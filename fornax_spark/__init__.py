@@ -20,6 +20,7 @@ __version__ = "0.1.0"
 # the way users import `fornax.GraphHandle`
 from .api import (  # noqa: E402,F401
     Connection,
+    CorpusHandle,
     GraphHandle,
     InvalidEdgeError,
     InvalidNodeError,

@@ -338,6 +338,17 @@ def search_segments_batch(
         (qid, sorted(id_of[t] for t in terms if t in id_of), k)
         for qid, terms, k in parsed
     ]
+    qids = [qid for qid, _t, _k in qs]
+    if len(set(qids)) != len(qids):
+        # fail loud and early on BOTH k-filter paths: the literal
+        # create_map below would otherwise raise Spark's opaque
+        # duplicate-map-key RuntimeException at count() time, while the
+        # >2000 broadcast-join path would silently duplicate rows
+        dup = next(q for q in qids if qids.count(q) > 1)
+        raise ValueError(
+            f"duplicate query_id {dup} in batch: query ids must be "
+            "unique within a search_segments_batch call"
+        )
     all_ids = sorted({i for _q, ids, _k in qs for i in ids})
     if not all_ids:
         return spark.createDataFrame(

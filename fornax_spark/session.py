@@ -8,6 +8,7 @@ AQE, Arrow). Nothing here is sandbox-specific.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -66,11 +67,21 @@ def get_spark(
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
-        # saveAsTable data (e.g. the bucketed segment-store form) lands
-        # on tmpfs too, never inside the repo working directory
-        b = b.config(
-            "spark.sql.warehouse.dir", "/dev/shm/spark-warehouse"
-        )
+    # saveAsTable data (e.g. the bucketed segment-store form) lands
+    # beside the scratch dir (tempdir fallback keeps non-/dev/shm
+    # platforms working), NEVER in the cwd/repo, and is per-process so
+    # two processes publishing the same table name can't clobber each
+    # other's data files. Durable reopen doesn't depend on this path
+    # being stable: the store manifest records the absolute location
+    # (segments.open_bucketed_table).
+    b = b.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get("SPARK_GRAFT_WAREHOUSE")
+        or os.path.join(
+            local_dir or tempfile.gettempdir(),
+            f"spark-warehouse-{os.getpid()}",
+        ),
+    )
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

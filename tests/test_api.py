@@ -285,3 +285,158 @@ def test_facade_custom_id_src(spark, conn):
     assert sorted(ids) == sorted(
         _hash(s, conn.maxsize) for s in ["Anne", "Ben"]
     )
+
+
+def test_df_ingest_int_ids_with_nulls_keep_mod_path(spark, conn):
+    """ADVICE r4 (high): Arrow converts an int64 batch containing any
+    null to float64 — id hashing must dispatch on the SPARK column type
+    so integer ids in a nullable frame still take the mod path (never
+    sha256('1.0')), and null ids must raise instead of hashing to
+    sha256('nan')."""
+    from fornax_spark import GraphHandle, InvalidNodeError
+
+    g = GraphHandle.create(conn)
+    with pytest.raises(InvalidNodeError, match="null id"):
+        g.add_nodes_df(
+            spark.createDataFrame(
+                [(1,), (None,), (3,)], "k long"
+            ),
+            id_col="k",
+        )
+    # same frame without the null: ids must equal the kwargs/_hash path
+    g.add_nodes_df(spark.createDataFrame([(1,), (3,)], "k long"), id_col="k")
+    ids = sorted(i for i, _m in g.nodes())
+    assert ids == sorted(conn._hash(i) for i in (1, 3))
+
+
+def test_df_ingest_nullable_int_batch_parity_with_hash(spark, conn):
+    """A LongType column that Arrow WOULD batch as float64 (nulls
+    filtered out before ingest but present in the source frame's
+    lineage) must hash identically to subgraphs._hash — including
+    negative values (pmod == Python % semantics)."""
+    from fornax_spark import GraphHandle
+
+    src = spark.createDataFrame(
+        [(1,), (None,), (-5,), (2**62,)], "k long"
+    ).filter("k is not null")
+    g = GraphHandle.create(conn)
+    g.add_nodes_df(src, id_col="k")
+    ids = sorted(i for i, _m in g.nodes())
+    assert ids == sorted(conn._hash(i) for i in (1, -5, 2**62))
+
+
+def test_df_ingest_null_endpoints_raise_via_validate(spark, conn):
+    """Null edge endpoints / match fields must hash to NULL and be
+    rejected by the operators/validate contract (the docstring's claim),
+    not silently hashed as sha256('None')."""
+    from fornax_spark import GraphHandle, QueryHandle
+
+    g = GraphHandle.create(conn)
+    g.add_nodes(my_id=[1, 2])
+    with pytest.raises(ValueError, match="invalid ingest rows"):
+        g.add_edges_df(
+            spark.createDataFrame(
+                [("a", None), ("a", "b")], "start string, end string"
+            )
+        )
+    t = GraphHandle.create(conn)
+    t.add_nodes(name=["x"])
+    q = QueryHandle.create(conn, g, t)
+    with pytest.raises(ValueError, match="invalid ingest rows"):
+        q.add_matches_df(
+            spark.createDataFrame(
+                [(None, 0, 0.9)], "v string, u long, weight double"
+            )
+        )
+
+
+def test_len_on_deleted_handle_raises_not_resurrects(spark, conn):
+    """ADVICE r4 (medium): len() on a deleted handle must raise via
+    _check_exists, and _update_stats must never re-create a catalog row
+    a cascading delete removed (phantom graphs accepted writes)."""
+    from fornax_spark import GraphHandle, QueryHandle
+
+    g = GraphHandle.create(conn)
+    g.add_nodes(my_id=[1, 2])
+    t = GraphHandle.create(conn)
+    t.add_nodes(name=["x"])
+    q = QueryHandle.create(conn, g, t)
+    gid, qid = g.graph_id, q.query_id
+    q.delete()
+    g.delete()
+    with pytest.raises(ValueError, match="cannot read graph"):
+        len(g)
+    with pytest.raises(ValueError, match="cannot read query"):
+        len(q)
+    # a direct stat write on the stale handle must be a no-op
+    g._update_stats(n_nodes=99)
+    q._update_stats(n_matches=99)
+    cat = conn._load()
+    assert str(gid) not in cat["graphs"]
+    assert str(qid) not in cat["queries"]
+    with pytest.raises(ValueError, match="cannot read graph"):
+        g.add_nodes(my_id=[9])
+
+
+def test_corpus_handle_facade(spark, conn, tmp_path):
+    """VERDICT r4 item 7: the fulltext product behind the same handle
+    verbs as graphs/queries — build/search through Connection.corpus
+    must be bit-identical to the module-level search_segments path,
+    registry-backed with cascading delete."""
+    import pandas as pd
+
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_segments
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 17} tok{i % 5}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    c = conn.create_corpus("pages")
+    assert len(c) == 0
+    c.build(docs, n_buckets=8)
+    assert len(c) == 200
+    # module-level store on the SAME docs: results must be bit-identical
+    idx = build_index_from_table(docs)
+    ref_store = build_segments(spark, idx, str(tmp_path / "refseg"), n_buckets=8)
+    want = [tuple(r) for r in search_segments(spark, ref_store, "alpha tok3", k=7).collect()]
+    got = [tuple(r) for r in c.search("alpha tok3", k=7).collect()]
+    assert got == want
+    idx.postings.unpersist()
+
+    # batch path + reopen by name and by id
+    qpdf = pd.DataFrame(
+        {"query_id": [0, 1], "query_text": ["alpha tok3", "beta tok4"], "k": 5}
+    )
+    batch = [tuple(r) for r in c.search_batch(qpdf).collect()]
+    again = conn.corpus("pages")
+    assert again.corpus_id == c.corpus_id
+    assert [tuple(r) for r in again.search_batch(qpdf).collect()] == batch
+    assert conn.corpora()[0]["name"] == "pages"
+
+    # live deletes flow through the handle
+    gone = [r["doc_id"] for r in c.search("alpha tok3", k=1).collect()]
+    c.delete_docs(gone)
+    assert gone[0] not in [
+        r["doc_id"] for r in c.search("alpha tok3", k=7).collect()
+    ]
+    assert len(c) == 199
+
+    # bucketed publish: handle prefers the shuffle-free form, results
+    # unchanged (deletes still applied via the directory tombstones)
+    c.publish_bucketed()
+    after = [tuple(r) for r in c.search("alpha tok3", k=7).collect()]
+    assert gone[0] not in [d for _r, d, _s in after]
+
+    # double build raises; cascading delete removes row + store
+    with pytest.raises(ValueError, match="already built"):
+        c.build(docs)
+    import os
+
+    p = c.path
+    c.delete()
+    assert not os.path.exists(p)
+    with pytest.raises(KeyError):
+        conn.corpus("pages")
+    spark.sql("DROP TABLE IF EXISTS fornax_corpus_1")

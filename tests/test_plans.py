@@ -117,3 +117,87 @@ def test_bucketed_store_query_skips_blob_shuffle(spark, tmp_path):
     ), physical_plan(bucketed)
     idx.postings.unpersist()
     spark.sql("DROP TABLE IF EXISTS bstore_plan_test")
+
+
+def test_bucketed_store_reopens_across_sessions(spark, tmp_path):
+    """VERDICT r4 item 2: the bucketed-table form must be durable — a
+    FRESH session (no catalog entry for the table, data files intact)
+    re-registers the published location via open_bucketed_table and
+    gets the same results under the same shuffle-free plan. Catalog
+    amnesia is simulated exactly as a new process experiences it: the
+    table is dropped from the catalog while the bucket-encoded files
+    are preserved."""
+    import json
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from fornax_spark.fulltext.segments import (
+        as_bucketed_table,
+        build_segments,
+        open_bucketed_table,
+        open_segments,
+    )
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 23} tok{i % 7}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_table(docs)
+    store = build_segments(spark, idx, str(tmp_path / "seg"), n_buckets=8)
+    bstore = as_bucketed_table(spark, store, "bstore_reopen_test")
+    qpdf = pd.DataFrame(
+        {"query_id": [0, 1], "query_text": ["alpha tok3", "beta tok5"], "k": 5}
+    )
+    want = [tuple(r) for r in search_segments_batch(spark, bstore, qpdf).collect()]
+
+    man = json.load(open(str(tmp_path / "seg" / "bucketed_table.json")))
+    # preserve the data files through the managed-table drop: this is
+    # the state a fresh session sees (files on disk, catalog empty)
+    shutil.copytree(man["location"], man["location"] + ".keep")
+    spark.sql("DROP TABLE bstore_reopen_test")
+    assert not os.path.isdir(man["location"])
+    shutil.move(man["location"] + ".keep", man["location"])
+
+    reopened = open_bucketed_table(spark, str(tmp_path / "seg"))
+    out = search_segments_batch(spark, reopened, qpdf)
+    assert [tuple(r) for r in out.collect()] == want
+    plan = physical_plan(out)
+    assert "hashpartitioning(bucket" not in plan, plan
+
+    # self-publish guard (ADVICE r4): re-publishing a BucketedSegmentStore
+    # onto its own table would lazily read the table it just dropped
+    with pytest.raises(ValueError, match="own\\s+table"):
+        as_bucketed_table(spark, reopened, "bstore_reopen_test")
+    # ...but the directory store can re-publish the same name
+    as_bucketed_table(
+        spark, open_segments(str(tmp_path / "seg")), "bstore_reopen_test"
+    )
+    idx.postings.unpersist()
+    spark.sql("DROP TABLE IF EXISTS bstore_reopen_test")
+
+
+def test_batch_search_rejects_duplicate_query_ids(spark, tmp_path):
+    """ADVICE r4: a repeated query_id used to surface as Spark's opaque
+    duplicate-map-key RuntimeException at count() time on the
+    create_map path (and silent row duplication on the join path) —
+    both paths must fail up front with a clear error."""
+    import pandas as pd
+
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_table(docs)
+    store = build_segments(spark, idx, str(tmp_path / "segdup"), n_buckets=4)
+    qpdf = pd.DataFrame(
+        {"query_id": [7, 7], "query_text": ["alpha", "beta"], "k": 3}
+    )
+    with pytest.raises(ValueError, match="duplicate query_id 7"):
+        search_segments_batch(spark, store, qpdf)
+    idx.postings.unpersist()
