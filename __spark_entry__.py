@@ -549,6 +549,43 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-exhaustiveness proof as a green oracle row (VERDICT
+    r4 item 6): the PRODUCTION simhash blocking machinery (4x16-bit
+    chunk equi-join + exact bit_count verify,
+    dedup.simhash_pairs_from_signatures) over a signature table both
+    engines derive identically in SQL — sig = first 60 bits of
+    sha256(text), plus planted near-dups (<=3 deterministic bit flips,
+    same construction as the emb_similar_pairs planted corpus). With
+    max_hamming=3 any qualifying pair shares >=1 chunk, so
+    blocking ∧ verify must EQUAL DuckDB's brute-force O(n^2) hamming
+    join — candidate generation provably drops nothing."""
+    from fornax_spark.operators.dedup import simhash_pairs_from_signatures
+
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("simhash"),
+    )
+    # SQL expr: pyspark's F.shiftleft only takes a literal shift amount,
+    # but Spark SQL's shiftleft accepts a column — same text as the
+    # DuckDB oracle modulo dialect
+    mask = F.expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(id, 60) as int)) ^ "
+        "shiftleft(cast(1 as bigint), cast(pmod(id * 31, 60) as int)) ^ "
+        "shiftleft(cast(1 as bigint), cast(pmod(id * 17, 60) as int))"
+    )
+    planted = base.filter(F.pmod(F.col("id"), F.lit(7)) == 0).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.col("simhash").bitwiseXOR(mask).alias("simhash"),
+    )
+    sigs = base.unionByName(planted)
+    return simhash_pairs_from_signatures(sigs, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search entries
 # ---------------------------------------------------------------------------
@@ -767,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_verified_pairs": q_simhash_verified_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1035,6 +1073,33 @@ def oracle_sql() -> dict[str, str]:
     # the exact pair set on this corpus (recall pinned in pytest) — the
     # exact-pairs oracle applies verbatim
     sqls["minhash_verified_pairs"] = sqls["ngram_jaccard_pairs"]
+
+    # pigeonhole-exhaustive simhash blocking == brute-force hamming join
+    # over signatures both engines derive in SQL (sha256 60-bit prefix +
+    # planted <=3-bit flips); pmod-style exponents spelled the same way
+    # in both dialects
+    sqls["simhash_verified_pairs"] = """
+        WITH base AS (
+          SELECT doc_id AS id,
+                 ('0x' || substr(sha256(text), 1, 15))::BIGINT AS sig
+          FROM documents
+        ), planted AS (
+          SELECT id + 1000000 AS pid,
+                 xor(sig, xor(xor(
+                     (1::BIGINT << (((id % 60) + 60) % 60)),
+                     (1::BIGINT << (((id * 31 % 60) + 60) % 60))),
+                     (1::BIGINT << (((id * 17 % 60) + 60) % 60)))) AS sig
+          FROM base WHERE ((id % 7) + 7) % 7 = 0
+        ), corpus AS (
+          SELECT id, sig FROM base
+          UNION ALL SELECT pid AS id, sig FROM planted
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM corpus a JOIN corpus b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY id_a, id_b
+    """
 
     # transitive closure of the same exact-Jaccard pair graph; min
     # reachable id per node == min-label-propagation fixed point

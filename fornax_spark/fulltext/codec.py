@@ -30,46 +30,57 @@ def _from_u64_biased(a: np.ndarray) -> np.ndarray:
     return (a.astype(_U64) - _OFFSET).view(np.int64)
 
 
+#: 7-bit group thresholds 2^7 .. 2^63: nbytes(v) = 1 + #{t : v >= t},
+#: computed in ONE searchsorted pass instead of nine comparison
+#: temporaries (the encode path's measured hot spot at web scale)
+_VARINT_THRESHOLDS = (
+    np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))
+)
+
+
 def varint_encode_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128 varint encode a uint64 array; also return per-value byte
     counts so callers can slice the stream into blocks without
-    re-encoding (the batch-encode fast path)."""
-    v = values.astype(_U64, copy=True)
+    re-encoding (the batch-encode fast path).
+
+    Fused single-buffer form (VERDICT r4 item 4 — minimize bytes
+    touched per posting): byte lengths come from one searchsorted
+    pass, the output buffer is preallocated at its exact final size,
+    and each 7-bit group is scattered directly to its final position
+    over a SHRINKING active set (after pass j only values wider than
+    j+1 bytes remain — for tf/dl streams that's typically none after
+    one pass, for doc-delta streams only the block-first absolute
+    values ride past pass two). No (n x max_bytes) matrix, no mask
+    compaction, no second copy. Byte-identical to the previous
+    matrix-form encoder (golden-pinned in tests/test_codec.py)."""
+    v = values.astype(_U64, copy=False)
     n = len(v)
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    nbytes = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
-    max_b = int(nbytes.max())
-    out = np.zeros((n, max_b), dtype=np.uint8)
-    for j in range(max_b):
-        chunk = ((v >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
-        cont = (j + 1 < nbytes).astype(np.uint8) * 0x80
-        out[:, j] = np.where(j < nbytes, chunk | cont, 0)
-    mask = np.arange(max_b)[None, :] < nbytes[:, None]
-    return out[mask].tobytes(), nbytes
+    nbytes = np.searchsorted(_VARINT_THRESHOLDS, v, side="right") + 1
+    starts = np.empty(n + 1, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(nbytes, out=starts[1:])
+    buf = np.empty(int(starts[-1]), dtype=np.uint8)
+    pos0 = starts[:-1]
+    cont = nbytes > 1
+    buf[pos0] = (v & _U64(0x7F)).astype(np.uint8) | (
+        cont.astype(np.uint8) << 7
+    )
+    active = np.flatnonzero(cont)
+    j = 1
+    while len(active):
+        va = ((v[active] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
+        cont = nbytes[active] > j + 1
+        buf[pos0[active] + j] = va | (cont.astype(np.uint8) << 7)
+        active = active[cont]
+        j += 1
+    return buf.tobytes(), nbytes
 
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128 varint encode a uint64 array, vectorized."""
-    v = values.astype(_U64, copy=True)
-    n = len(v)
-    if n == 0:
-        return b""
-    # byte length per value: 1 + one byte per 7-bit threshold crossed
-    nbytes = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nbytes += (v >= (_U64(1) << _U64(7 * k))).astype(np.int64)
-    # emit up to 10 groups of 7 bits
-    max_b = int(nbytes.max())
-    out = np.zeros((n, max_b), dtype=np.uint8)
-    for j in range(max_b):
-        chunk = ((v >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
-        cont = (j + 1 < nbytes).astype(np.uint8) * 0x80
-        out[:, j] = np.where(j < nbytes, chunk | cont, 0)
-    mask = np.arange(max_b)[None, :] < nbytes[:, None]
-    return out[mask].tobytes()
+    return varint_encode_sizes(values)[0]
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
@@ -124,7 +135,9 @@ def encode_blocks_batch(
     n = len(doc_ids)
     if n == 0:
         return [], [], []
-    u = _to_u64_biased(np.asarray(doc_ids, dtype=np.int64))
+    # one allocation for the biased stream (view, not astype-copy, when
+    # the input is already int64 — the Spark kernel always passes int64)
+    u = np.asarray(doc_ids, dtype=np.int64).view(_U64) + _OFFSET
     deltas = u.copy()
     deltas[1:] -= u[:-1]
     deltas[block_starts] = u[block_starts]  # block-first values absolute
@@ -141,8 +154,8 @@ def encode_blocks_batch(
 
     return (
         slice_stream(deltas),
-        slice_stream(np.asarray(tf, dtype=np.int64).astype(_U64)),
-        slice_stream(np.asarray(dl, dtype=np.int64).astype(_U64)),
+        slice_stream(np.asarray(tf, dtype=np.int64).view(_U64)),
+        slice_stream(np.asarray(dl, dtype=np.int64).view(_U64)),
     )
 
 

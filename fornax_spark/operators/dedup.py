@@ -375,6 +375,25 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     exact distance with bit_count (JVM)."""
     sigs = simhash_signatures(df, id_col, text_col)
     sigs.persist()  # chunk explode + self-join would recompute the UDF
+    return simhash_pairs_from_signatures(sigs, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """The blocking + verify machinery of simhash_near_pairs over a
+    precomputed signature table (id, simhash int64) — exposed so the
+    pigeonhole-exhaustiveness property can be oracle-checked on
+    signatures BOTH engines can derive (driver entry
+    simhash_verified_pairs): with 4 16-bit chunks and max_hamming <= 3,
+    any qualifying pair must agree on at least one chunk, so
+    blocking ∧ exact-verify EQUALS the brute-force O(n^2) hamming join.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit pigeonhole blocking is exhaustive only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
     chunks = sigs.select(
         "id",
         "simhash",

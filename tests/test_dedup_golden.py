@@ -164,3 +164,44 @@ def test_simhash_pairs_golden(spark, docs):
     }
     assert got == want
     assert want
+
+
+def test_simhash_signature_blocking_is_exhaustive(spark):
+    """Pigeonhole proof behind the simhash_verified_pairs driver entry:
+    over ARBITRARY signatures (not just text-derived ones) the 4x16-bit
+    blocking + verify equals brute force for max_hamming<=3, and the
+    guard refuses a max_hamming the blocking cannot serve."""
+    import itertools
+
+    import numpy as np
+    import pytest
+
+    from fornax_spark.operators.dedup import simhash_pairs_from_signatures
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(-(2**62), 2**62, size=40).astype(np.int64)
+    # plant pairs at hamming 1..3 plus one at 4 (must NOT be reported)
+    sigs = list(enumerate(base.tolist()))
+    nxt = len(sigs)
+    for k, bits in enumerate(([3], [3, 17], [3, 17, 41], [3, 17, 41, 55])):
+        m = 0
+        for b in bits:
+            m |= 1 << b
+        v = int(base[k]) ^ m
+        v = v - (1 << 64) if v >= (1 << 63) else v
+        sigs.append((nxt + k, v))
+    df = spark.createDataFrame(sigs, "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_from_signatures(df, max_hamming=3).collect()
+    }
+    want = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sigs, 2):
+        ham = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+        if ham <= 3:
+            want.add((min(ia, ib), max(ia, ib), ham))
+    assert got == want
+    assert any(h == 1 for *_ab, h in want)
+    assert any(h == 3 for *_ab, h in want)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs_from_signatures(df, max_hamming=4)

@@ -97,9 +97,13 @@ def test_simhash(spark, docs_df):
     assert simhash64(["a", "b"]) == simhash64(["b", "a"])
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_pairs(docs_df, max_hamming=10).collect()
+        for r in simhash_near_pairs(docs_df, max_hamming=3).collect()
     }
     assert pairs[(1, 2)] == 0  # identical text -> identical simhash
+    # 4x16-bit pigeonhole blocking is only exhaustive for hamming <= 3;
+    # asking for more must fail loudly instead of silently losing recall
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(docs_df, max_hamming=10)
 
 
 def test_cosine_topk_matches_numpy(spark):
