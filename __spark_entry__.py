@@ -188,10 +188,18 @@ def _ft_bucketed_store(spark: SparkSession, sf_dir: str):
         # never shuffle at query time — at 100 TB this is the default
         # store form, so it gets its own oracle-gated entry
         q_ft_bm25_topk_segments(spark, sf_dir)  # ensure store exists
+        import re as _re
+
         from fornax_spark.fulltext.segments import as_bucketed_table
 
+        # table name derived from sf_dir: the cache is keyed per corpus,
+        # so each cached handle must own its own table — a single fixed
+        # name would let a second sf_dir's publish rewrite the table the
+        # first sf_dir's handle still points at (serving the wrong
+        # corpus's blocks under the first corpus's n_docs/avgdl stats)
+        suffix = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
         _FT_BSTORE_CACHE[sf_dir] = as_bucketed_table(
-            spark, _FT_STORE_CACHE[sf_dir], "entry_bucketed_store"
+            spark, _FT_STORE_CACHE[sf_dir], f"entry_bucketed_store_{suffix}"
         )
     return _FT_BSTORE_CACHE[sf_dir]
 

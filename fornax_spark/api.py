@@ -874,15 +874,23 @@ class CorpusHandle:
     def __init__(self, connection: Connection, corpus_id: int):
         self.conn = connection
         self.corpus_id = int(corpus_id)
-        self._row()  # raises KeyError if absent
+        self._row()  # raises ValueError if absent
 
     # -- registry plumbing --------------------------------------------
     def _registry(self):
         return self.conn._fulltext_registry()
 
     def _row(self) -> dict:
+        # same handle-level error contract as GraphHandle/QueryHandle:
+        # a deleted (or never-created) corpus raises ValueError from
+        # every method, not the registry's internal KeyError
         reg = self._registry()
-        k, cat = reg._resolve(self.corpus_id)
+        try:
+            k, cat = reg._resolve(self.corpus_id)
+        except KeyError:
+            raise ValueError(
+                f"cannot read corpus with corpus id: {self.corpus_id}"
+            ) from None
         return cat["corpora"][k]
 
     @property
@@ -898,9 +906,13 @@ class CorpusHandle:
 
     def _store(self):
         """Open the store, preferring the durable bucketed-table form
-        when one was published and its data files are still alive
-        (segments.open_bucketed_table re-registers across sessions)."""
+        when one was published, its data files are still alive
+        (segments.open_bucketed_table re-registers across sessions) AND
+        it still snapshots the current segment state — a stale table
+        (store rebuilt/merged in place after publish) falls back to the
+        directory store instead of silently serving old blocks."""
         from .fulltext.segments import (
+            StaleBucketedTableError,
             _bucketed_manifest_path,
             open_bucketed_table,
             open_segments,
@@ -914,8 +926,8 @@ class CorpusHandle:
         if os.path.exists(_bucketed_manifest_path(self.path)):
             try:
                 return open_bucketed_table(self.conn.spark, self.path)
-            except FileNotFoundError:
-                pass  # tmpfs warehouse cleared: fall back to directory
+            except (FileNotFoundError, StaleBucketedTableError):
+                pass  # location gone or snapshot stale: directory store
         return open_segments(self.path)
 
     # -- verbs --------------------------------------------------------
@@ -970,6 +982,11 @@ class CorpusHandle:
         from .fulltext.deletes import delete_docs
         from .fulltext.segments import open_segments
 
+        if not self._built():
+            raise ValueError(
+                f"corpus {self.name!r} has no built store yet: call "
+                "build(df) first"
+            )
         delete_docs(self.conn.spark, open_segments(self.path), doc_ids)
 
     def publish_bucketed(self, table_name: str | None = None):
@@ -996,8 +1013,33 @@ class CorpusHandle:
         return t.n_docs_new if t is not None else store.n_docs
 
     def delete(self) -> None:
-        """Cascading delete: registry row + the whole store directory."""
+        """Cascading delete: registry row + store directory + any
+        published bucketed table (catalog entry AND its warehouse files
+        — without this the stale table stays queryable after the corpus
+        is gone and its parquet leaks in the warehouse)."""
+        self._drop_bucketed_table()
         self._registry().delete(self.corpus_id)
+
+    def _drop_bucketed_table(self) -> None:
+        from .fulltext.segments import _bucketed_manifest_path
+
+        from .fulltext.segments import _catalog_table_location
+
+        mp = _bucketed_manifest_path(self.path)
+        if not os.path.exists(mp):
+            return
+        with open(mp) as f:
+            man = json.load(f)
+        spark = self.conn.spark
+        if not spark.catalog.tableExists(man["table"]) or (
+            _catalog_table_location(spark, man["table"])
+            == os.path.abspath(man["location"])
+        ):
+            # drop only when the catalog name still points at OUR files
+            # (a name collision re-registered elsewhere keeps its table)
+            spark.sql(f"DROP TABLE IF EXISTS {man['table']}")
+        shutil.rmtree(man["location"], ignore_errors=True)
+        os.remove(mp)
 
 
 def _connection_fulltext_registry(self) -> "Registry":
@@ -1018,7 +1060,10 @@ def _connection_create_corpus(
 def _connection_corpus(self, key: int | str) -> CorpusHandle:
     """Open an existing corpus by name or id."""
     reg = self._fulltext_registry()
-    k, _cat = reg._resolve(key)
+    try:
+        k, _cat = reg._resolve(key)
+    except KeyError:
+        raise ValueError(f"cannot read corpus with key: {key!r}") from None
     return CorpusHandle(self, int(k))
 
 

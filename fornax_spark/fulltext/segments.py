@@ -349,7 +349,14 @@ def as_bucketed_table(
     pushed term filter keeps row-group pruning) and return the
     shuffle-free-query handle. Records a `bucketed_table.json` manifest
     in the store directory so `open_bucketed_table` can re-register the
-    written files from a fresh session without rewriting them."""
+    written files from a fresh session without rewriting them.
+
+    The table is EXTERNAL, rooted INSIDE the store directory
+    (`<path>/bucketed_blocks`) — each store owns its bucket-encoded
+    files by construction, so two stores publishing under the same
+    table NAME only contend for the catalog entry (which
+    open_bucketed_table re-registers per store), never for each other's
+    data files, and DROP TABLE is always metadata-only."""
     if (
         isinstance(store, BucketedSegmentStore)
         and store.table.lower() == table_name.lower()
@@ -365,19 +372,18 @@ def as_bucketed_table(
             f"(open_segments({store.path!r})) or pick a new table name"
         )
     tb = table_buckets or store.n_buckets
-    # the warehouse DIRECTORY outlives the in-memory catalog (a fresh
-    # session doesn't know the table but its location still exists, and
-    # mode("overwrite") can only overwrite tables the catalog knows) —
-    # drop both the table and any stale location before writing
+    # free the catalog name and this store's own previous publish (the
+    # location outlives the in-memory catalog across sessions, and
+    # saveAsTable can only overwrite tables the catalog knows)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    loc = os.path.join(os.path.abspath(store.path), "bucketed_blocks")
     if os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
     (
         store.blocks(spark)
         .write.bucketBy(tb, "bucket")
         .sortBy("term_id", "block_id")
+        .option("path", loc)
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(table_name)
@@ -387,6 +393,13 @@ def as_bucketed_table(
         "table_buckets": tb,
         "location": os.path.abspath(loc),
         "schema": SEG_SCHEMA,
+        # staleness guard (VERDICT r5 item 3): the published table is a
+        # frozen snapshot of the blocks; record WHICH ledger state it
+        # snapshots so a later rebuild/merge-in-place under `path` can't
+        # silently keep serving the old blocks through the table form.
+        # Tombstones are deliberately NOT covered: deletes stay live
+        # (applied at query time from the directory manifest).
+        "ledger_sha": _ledger_fingerprint(store.path),
     }
     tmp = _bucketed_manifest_path(store.path) + ".tmp"
     with open(tmp, "w") as f:
@@ -401,8 +414,40 @@ def as_bucketed_table(
     )
 
 
+class StaleBucketedTableError(RuntimeError):
+    """The store's segments changed after its bucketed table was
+    published (ledger fingerprint mismatch): the frozen table snapshot
+    no longer reflects the directory store. Re-publish with
+    as_bucketed_table, or fall back to the directory store."""
+
+
 def _bucketed_manifest_path(path: str) -> str:
     return os.path.join(path, "bucketed_table.json")
+
+
+def _ledger_fingerprint(path: str) -> str:
+    """sha256 of the ledger file — identifies the segment state a
+    bucketed-table publish snapshots (build/merge rewrite the ledger;
+    live deletes don't, by design)."""
+    import hashlib
+
+    lp = _ledger_path(path)
+    if not os.path.exists(lp):
+        return ""
+    with open(lp, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _catalog_table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location of a catalog table (normalized absolute
+    path, file: scheme stripped) — used to detect name collisions where
+    an existing table with the manifest's name is rooted at a different
+    store's files."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Location":
+            loc = r["data_type"]
+            return os.path.abspath(loc.removeprefix("file:"))
+    return ""
 
 
 def open_bucketed_table(
@@ -433,11 +478,29 @@ def open_bucketed_table(
         man = json.load(f)
     table = table_name or man["table"]
     loc = man["location"]
+    want_sha = man.get("ledger_sha")
+    if want_sha is not None and want_sha != _ledger_fingerprint(path):
+        raise StaleBucketedTableError(
+            f"bucketed table {man['table']!r} was published from a "
+            f"different segment state of {path} (ledger fingerprint "
+            "mismatch — the store was rebuilt or merged in place after "
+            "publish): re-publish with as_bucketed_table"
+        )
     if not os.path.isdir(loc):
         raise FileNotFoundError(
             f"bucketed table location {loc} is gone (tmpfs warehouse "
             "cleared?): re-publish with as_bucketed_table"
         )
+    if spark.catalog.tableExists(table) and (
+        _catalog_table_location(spark, table) != os.path.abspath(loc)
+    ):
+        # name collision: the catalog already holds `table` but rooted at
+        # a DIFFERENT store's files (e.g. two registries published under
+        # the same default name). Reusing it would silently serve the
+        # other store's blocks under this store's stats — re-register at
+        # this manifest's location (DROP on an external table is
+        # metadata-only; the other store re-registers the same way).
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     if not spark.catalog.tableExists(table):
         spark.sql(
             f"CREATE TABLE {table} ({man['schema']}) USING parquet "

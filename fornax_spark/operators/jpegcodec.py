@@ -212,39 +212,38 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
-def _encode_component(
-    blocks_q: np.ndarray,
+def _encode_block(
+    flat: np.ndarray,
     dc_tab: dict[int, tuple[int, int]],
     ac_tab: dict[int, tuple[int, int]],
     writer: _BitWriter,
     prev_dc: int,
 ) -> int:
-    zz = ZIGZAG
-    for blk in blocks_q:
-        flat = blk.reshape(64)[zz]
-        size, bits = _magnitude(int(flat[0]) - prev_dc)
-        prev_dc = int(flat[0])
-        c, ln = dc_tab[size]
+    """Entropy-code ONE zigzag-ordered quantized block (T.81 F.1.2);
+    returns the new DC predictor. The single shared copy of the DC/AC
+    loop — encode_jpeg's MCU interleave calls it per component block."""
+    size, bits = _magnitude(int(flat[0]) - prev_dc)
+    prev_dc = int(flat[0])
+    c, ln = dc_tab[size]
+    writer.write(c, ln)
+    if size:
+        writer.write(bits, size)
+    nz = np.flatnonzero(flat[1:]) + 1
+    pos = 1
+    for j in nz:
+        run = int(j) - pos
+        while run > 15:
+            c, ln = ac_tab[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        size, bits = _magnitude(int(flat[j]))
+        c, ln = ac_tab[(run << 4) | size]
         writer.write(c, ln)
-        if size:
-            writer.write(bits, size)
-        run = 0
-        nz = np.flatnonzero(flat[1:]) + 1
-        pos = 1
-        for j in nz:
-            run = int(j) - pos
-            while run > 15:
-                c, ln = ac_tab[0xF0]  # ZRL
-                writer.write(c, ln)
-                run -= 16
-            size, bits = _magnitude(int(flat[j]))
-            c, ln = ac_tab[(run << 4) | size]
-            writer.write(c, ln)
-            writer.write(bits, size)
-            pos = int(j) + 1
-        if pos <= 63:
-            c, ln = ac_tab[0x00]  # EOB
-            writer.write(c, ln)
+        writer.write(bits, size)
+        pos = int(j) + 1
+    if pos <= 63:
+        c, ln = ac_tab[0x00]  # EOB
+        writer.write(c, ln)
     return prev_dc
 
 
@@ -330,28 +329,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
             dc_tab = dc_l if ci == 0 else dc_c
             ac_tab = ac_l if ci == 0 else ac_c
             flat = comp_blocks[ci][m].reshape(64)[zz]
-            size, bits = _magnitude(int(flat[0]) - prev[ci])
-            prev[ci] = int(flat[0])
-            c, ln = dc_tab[size]
-            writer.write(c, ln)
-            if size:
-                writer.write(bits, size)
-            nzs = np.flatnonzero(flat[1:]) + 1
-            pos = 1
-            for j in nzs:
-                run = int(j) - pos
-                while run > 15:
-                    c, ln = ac_tab[0xF0]
-                    writer.write(c, ln)
-                    run -= 16
-                size, bits = _magnitude(int(flat[j]))
-                c, ln = ac_tab[(run << 4) | size]
-                writer.write(c, ln)
-                writer.write(bits, size)
-                pos = int(j) + 1
-            if pos <= 63:
-                c, ln = ac_tab[0x00]
-                writer.write(c, ln)
+            prev[ci] = _encode_block(flat, dc_tab, ac_tab, writer, prev[ci])
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI

@@ -429,14 +429,114 @@ def test_corpus_handle_facade(spark, conn, tmp_path):
     after = [tuple(r) for r in c.search("alpha tok3", k=7).collect()]
     assert gone[0] not in [d for _r, d, _s in after]
 
-    # double build raises; cascading delete removes row + store
+    # double build raises; cascading delete removes row + store + the
+    # published bucketed table (catalog entry AND warehouse files) —
+    # no stale queryable table, no parquet leak (ADVICE r5)
     with pytest.raises(ValueError, match="already built"):
         c.build(docs)
+    import json
     import os
 
+    from fornax_spark.fulltext.segments import _bucketed_manifest_path
+
+    with open(_bucketed_manifest_path(c.path)) as f:
+        man = json.load(f)
+    assert spark.catalog.tableExists(man["table"])
+    assert os.path.isdir(man["location"])
     p = c.path
     c.delete()
     assert not os.path.exists(p)
-    with pytest.raises(KeyError):
+    assert not spark.catalog.tableExists(man["table"])
+    assert not os.path.isdir(man["location"])
+    with pytest.raises(ValueError, match="cannot read corpus"):
         conn.corpus("pages")
-    spark.sql("DROP TABLE IF EXISTS fornax_corpus_1")
+    # post-delete handle methods surface the handle-level error, same
+    # contract as GraphHandle/QueryHandle (ADVICE r5)
+    with pytest.raises(ValueError, match="cannot read corpus"):
+        len(c)
+    with pytest.raises(ValueError, match="cannot read corpus"):
+        c.search("alpha", k=1)
+
+
+def test_corpus_handle_unbuilt_and_collision(spark, conn, tmp_path):
+    """delete_docs on an unbuilt corpus gives the friendly no-built-
+    store error (not a raw FileNotFoundError), and two stores published
+    under the SAME table name don't silently serve each other's blocks:
+    open_bucketed_table re-registers the table at its own manifest's
+    location (ADVICE r5)."""
+    from fornax_spark.fulltext.segments import (
+        _catalog_table_location,
+        open_bucketed_table,
+    )
+    from fornax_spark.fulltext.wand import search_segments
+
+    c = conn.create_corpus("empty")
+    with pytest.raises(ValueError, match="no built store yet"):
+        c.delete_docs([1])
+    c.delete()
+
+    d1 = spark.createDataFrame(
+        [(i, f"apple banana w{i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(1000 + i, f"cherry date w{i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    c1 = conn.create_corpus("c1").build(d1, n_buckets=4)
+    c2 = conn.create_corpus("c2").build(d2, n_buckets=4)
+    c1.publish_bucketed("collide_tbl")
+    c2.publish_bucketed("collide_tbl")  # steals the catalog name
+    # reopening c1's store must NOT reuse the catalog's collide_tbl
+    # (now rooted at c2's files) — it re-registers at c1's location
+    import os
+
+    s1 = open_bucketed_table(spark, c1.path)
+    assert _catalog_table_location(spark, "collide_tbl") == os.path.join(
+        os.path.abspath(c1.path), "bucketed_blocks"
+    )
+    got = {r["doc_id"] for r in search_segments(spark, s1, "apple", k=5).collect()}
+    assert got and all(d < 1000 for d in got)
+    assert s1.n_docs == 60
+    c1.delete()
+    # c1's manifest points at the shared name but c2 re-registers on its
+    # next open; c1.delete() must not have nuked c2's files
+    s2 = open_bucketed_table(spark, c2.path)
+    got2 = {r["doc_id"] for r in search_segments(spark, s2, "cherry", k=5).collect()}
+    assert got2 and all(d >= 1000 for d in got2)
+    c2.delete()
+    spark.sql("DROP TABLE IF EXISTS collide_tbl")
+
+
+def test_corpus_facade_stale_snapshot_falls_back(spark, conn):
+    """VERDICT r5 item 3, facade side: when the store's segments change
+    after publish (ledger rewritten by a rebuild/merge in place), the
+    handle must stop preferring the now-stale bucketed table and serve
+    the directory store instead — never the old snapshot."""
+    from fornax_spark.fulltext.segments import (
+        BucketedSegmentStore,
+        SegmentStore,
+        _load_ledger,
+        _save_ledger,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"kiwi mango tok{i % 9}") for i in range(80)],
+        "doc_id long, text string",
+    )
+    c = conn.create_corpus("stale_facade").build(docs, n_buckets=4)
+    want = [tuple(r) for r in c.search("kiwi tok3", k=5).collect()]
+    c.publish_bucketed()
+    assert isinstance(c._store(), BucketedSegmentStore)
+    assert [tuple(r) for r in c.search("kiwi tok3", k=5).collect()] == want
+
+    # simulate an in-place compaction rewriting the ledger after publish
+    ledger = _load_ledger(c.path)
+    ledger["groups"]["g9999"] = {"status": "done", "buckets": []}
+    _save_ledger(c.path, ledger)
+
+    st = c._store()
+    assert isinstance(st, SegmentStore)
+    assert not isinstance(st, BucketedSegmentStore)
+    assert [tuple(r) for r in c.search("kiwi tok3", k=5).collect()] == want
+    c.delete()

@@ -129,7 +129,6 @@ def test_bucketed_store_reopens_across_sessions(spark, tmp_path):
     are preserved."""
     import json
     import os
-    import shutil
 
     import pandas as pd
 
@@ -154,12 +153,13 @@ def test_bucketed_store_reopens_across_sessions(spark, tmp_path):
     want = [tuple(r) for r in search_segments_batch(spark, bstore, qpdf).collect()]
 
     man = json.load(open(str(tmp_path / "seg" / "bucketed_table.json")))
-    # preserve the data files through the managed-table drop: this is
-    # the state a fresh session sees (files on disk, catalog empty)
-    shutil.copytree(man["location"], man["location"] + ".keep")
+    # the published location lives INSIDE the store directory and the
+    # table is EXTERNAL: dropping the catalog entry (what a process exit
+    # does to the in-memory catalog) leaves the data files intact —
+    # exactly the state a fresh session sees
+    assert man["location"] == str(tmp_path / "seg" / "bucketed_blocks")
     spark.sql("DROP TABLE bstore_reopen_test")
-    assert not os.path.isdir(man["location"])
-    shutil.move(man["location"] + ".keep", man["location"])
+    assert os.path.isdir(man["location"])
 
     reopened = open_bucketed_table(spark, str(tmp_path / "seg"))
     out = search_segments_batch(spark, reopened, qpdf)

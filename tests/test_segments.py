@@ -188,3 +188,50 @@ def test_ledger_metrics(built):
         assert g["status"] == "done"
         assert g["build_secs"] > 0
         assert g["lineage"]["code_version"]
+
+
+def test_bucketed_table_staleness_guard(spark, tmp_path):
+    """VERDICT r5 item 3: the bucketed table is a frozen snapshot — if
+    the directory store's segments change after publish (rebuild/merge
+    in place rewrites the ledger), the stale snapshot must NOT be
+    silently served: open_bucketed_table refuses with
+    StaleBucketedTableError. Live deletes (tombstones) do NOT trip the
+    guard — they're applied at query time, not baked into the table."""
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.deletes import delete_docs
+    from fornax_spark.fulltext.segments import (
+        StaleBucketedTableError,
+        as_bucketed_table,
+        open_bucketed_table,
+    )
+
+    path = str(tmp_path / "stale")
+    docs_a = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 13}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    idx_a = build_index_from_table(docs_a)
+    store = build_segments(spark, idx_a, path, n_buckets=4)
+    as_bucketed_table(spark, store, "stale_guard_tbl")
+
+    # deletes keep the snapshot valid (tombstones live in the directory)
+    delete_docs(spark, open_segments(path), [0, 1])
+    reopened = open_bucketed_table(spark, path)
+    got = {r["doc_id"] for r in search_segments(spark, reopened, "alpha", k=5).collect()}
+    assert got and 0 not in got and 1 not in got
+
+    # rebuild IN PLACE with a different corpus: the table still holds
+    # corpus A's blocks but the directory now holds corpus B — serving
+    # the old snapshot under the new stats would be silent corruption
+    docs_b = spark.createDataFrame(
+        [(1000 + i, f"gamma delta tok{i % 7}") for i in range(80)],
+        "doc_id long, text string",
+    )
+    idx_b = build_index_from_table(docs_b)
+    build_segments(spark, idx_b, path, n_buckets=4)
+    with pytest.raises(StaleBucketedTableError, match="fingerprint"):
+        open_bucketed_table(spark, path)
+
+    idx_a.postings.unpersist()
+    idx_b.postings.unpersist()
+    spark.sql("DROP TABLE IF EXISTS stale_guard_tbl")
