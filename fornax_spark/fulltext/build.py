@@ -182,6 +182,39 @@ def build_index_from_table(
     )
 
 
+def index_from_postings(postings: DataFrame) -> InvertedIndex:
+    """Reconstruct an index handle from a bare postings table
+    (term, doc_id, tf, dl) — the adapter between streamed postings
+    DELTAS (streaming.incremental_index_stream) and the segment-store
+    builder: each micro-batch delta becomes a small LSM generation
+    store, later folded by merge.merge_stores (which re-derives stats
+    the same way, so streamed-then-merged == batch-built bit-for-bit on
+    token-bearing corpora; test_multimodal_streaming.py). Stats are
+    computed from the postings themselves (one dl per doc rides every
+    posting) — a document with ZERO tokens has no postings rows and is
+    invisible here, shifting n_docs/avgdl vs a build_index over the
+    original pages; such a doc can't match any query, but score-parity
+    demands the same stats, so corpora with empty docs should pass
+    explicit stats instead.
+
+    The returned postings are persisted (two passes: stats + term_stats
+    feed the encode); callers own the unpersist."""
+    p = postings.persist()
+    row = (
+        p.dropDuplicates(["doc_id"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
+        .collect()[0]
+    )
+    n = int(row["n"]) or 0
+    return InvertedIndex(
+        postings=p,
+        term_stats=build_term_stats(p),
+        stats=CorpusStats(
+            n_docs=n, avgdl=(float(row["total"]) / n) if n else 0.0
+        ),
+    )
+
+
 def build_index(
     spark: SparkSession, pages: DataFrame, from_html: bool = True
 ) -> InvertedIndex:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
-from .build import CorpusStats, InvertedIndex
+from .build import index_from_postings
 from .segments import SegmentStore, _load_ledger, _save_ledger, build_segments
 
 _ID_POSTINGS_SCHEMA = "term_id int, doc_id long, tf long, dl long"
@@ -111,23 +111,11 @@ def merge_stores(
         postings = p if postings is None else postings.unionByName(p)
     if tomb:
         postings = postings.filter(~F.col("doc_id").isin(tomb))
-    postings = postings.persist()
 
-    # exact merged-corpus stats (disjoint stores: one dl per doc)
-    row = (
-        postings.dropDuplicates(["doc_id"])
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
-        .collect()[0]
-    )
-    n_docs = int(row["n"])
-    avgdl = float(row["total"]) / n_docs if n_docs else 0.0
-
-    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idx = InvertedIndex(
-        postings=postings,
-        term_stats=term_stats,
-        stats=CorpusStats(n_docs=n_docs, avgdl=avgdl),
-    )
+    # exact merged-corpus stats (disjoint stores: one dl per doc) — the
+    # shared postings->index adapter, also the streamed-deltas entry
+    idx = index_from_postings(postings)
+    postings = idx.postings  # the persisted handle
     store = build_segments(
         spark, idx, out_path, n_buckets=n_buckets,
         block_size=block_size, group_size=n_buckets,

@@ -117,6 +117,14 @@ class Registry:
             out.append(row)
         return out
 
+    def set_path(self, key: int | str, new_path: str) -> None:
+        """Repoint a corpus row at a new store directory (atomic catalog
+        write) — the compaction step that swaps in a freshly merged
+        store without ever mutating the old one in place."""
+        k, cat = self._resolve(key)
+        cat["corpora"][k]["path"] = new_path
+        self._save(cat)
+
     def delete(self, key: int | str) -> None:
         """Cascading delete: catalog row + the whole store directory
         (segments, ledger, tombstones)."""

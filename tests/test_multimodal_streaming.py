@@ -190,3 +190,74 @@ def test_iceberg_gate(spark):
     ):
         with pytest.raises(IcebergUnavailableError, match="classpath"):
             fn()
+
+
+def test_streamed_then_published_parity(spark, tmp_path):
+    """VERDICT r5 item 6: the streaming LSM front composed with the
+    bucketed-table publish — stream two delta generations, build a
+    store per generation (build.index_from_postings), fold them with
+    merge_stores, publish the merged store as a bucketed table, and the
+    batch search must equal a BATCH-built store published the same way,
+    bit-for-bit (ids AND scores)."""
+    import glob
+
+    from fornax_spark.fulltext.build import build_index, index_from_postings
+    from fornax_spark.fulltext.corpus import (
+        generate_pages,
+        pages_to_spark,
+        reference_queries,
+    )
+    from fornax_spark.fulltext.merge import merge_stores
+    from fornax_spark.fulltext.segments import as_bucketed_table, build_segments
+    from fornax_spark.fulltext.wand import search_segments_batch
+    from fornax_spark.streaming import incremental_index_stream
+
+    pages = generate_pages(240, seed=46)
+    full = pages_to_spark(spark, pages, partitions=4)
+    pdir = str(tmp_path / "pages")
+    ddir = str(tmp_path / "deltas")
+    ckpt = str(tmp_path / "ckpt")
+
+    # two stream invocations = two LSM generations (the checkpoint keeps
+    # the second run incremental over only the newly arrived files)
+    pages_to_spark(spark, pages[:150], partitions=2).write.mode(
+        "append"
+    ).parquet(pdir)
+    incremental_index_stream(
+        spark, pdir, ddir, ckpt, full.schema
+    ).awaitTermination(120)
+    pages_to_spark(spark, pages[150:], partitions=2).write.mode(
+        "append"
+    ).parquet(pdir)
+    incremental_index_stream(
+        spark, pdir, ddir, ckpt, full.schema
+    ).awaitTermination(120)
+
+    batch_dirs = sorted(glob.glob(f"{ddir}/batch=*"))
+    assert len(batch_dirs) >= 2, batch_dirs
+    gen_stores, gen_idxs = [], []
+    for i, bd in enumerate(batch_dirs):
+        gidx = index_from_postings(spark.read.parquet(bd))
+        gen_idxs.append(gidx)
+        gen_stores.append(
+            build_segments(
+                spark, gidx, str(tmp_path / f"gen{i}"), n_buckets=8
+            )
+        )
+    merged = merge_stores(spark, gen_stores, str(tmp_path / "merged"))
+    bstream = as_bucketed_table(spark, merged, "stream_pub_tbl")
+
+    bidx = build_index(spark, full)
+    ref = build_segments(spark, bidx, str(tmp_path / "batchref"), n_buckets=8)
+    bref = as_bucketed_table(spark, ref, "batch_pub_tbl")
+
+    queries = reference_queries()
+    got = [tuple(r) for r in search_segments_batch(spark, bstream, queries).collect()]
+    want = [tuple(r) for r in search_segments_batch(spark, bref, queries).collect()]
+    assert got == want and len(got) > 0
+
+    for gidx in gen_idxs:
+        gidx.postings.unpersist()
+    bidx.postings.unpersist()
+    spark.sql("DROP TABLE IF EXISTS stream_pub_tbl")
+    spark.sql("DROP TABLE IF EXISTS batch_pub_tbl")
