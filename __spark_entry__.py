@@ -640,6 +640,37 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search(_ann_index(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
 
 
+_ANN_VERIFIED_INDEX_CACHE: dict[str, object] = {}
+
+
+def q_ann_lsh_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN at verified-recall parameters (VERDICT r5 item 4 — the
+    minhash/simhash playbook applied to the last oracle-less similarity
+    entry): the SAME production machinery as ann_lsh_topk
+    (build_ann_index -> multi-table bucket probe -> exact cosine
+    re-rank), sized so the candidate set provably contains the exact
+    top-10 on this corpus family — 12 hyperplane tables x Hamming-2
+    multiprobe over 8-bit signatures; signatures are DETERMINISTIC
+    given the seed, so on the fixed corpus the probe either catches a
+    neighbour or it doesn't, and recall 1.0 is pinned in pytest
+    (tests/test_operators.py) at sf0.001 AND the driver's sf0.01.
+    Candidates ∧ exact re-rank == exact brute force, so the
+    ann_cosine_topk DuckDB oracle applies verbatim."""
+    from fornax_spark.operators.similarity import ann_search, build_ann_index
+
+    if sf_dir not in _ANN_VERIFIED_INDEX_CACHE:
+        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        _ANN_VERIFIED_INDEX_CACHE[sf_dir] = build_ann_index(
+            emb, dim=64, n_planes=8, n_tables=12
+        )
+    return ann_search(
+        _ANN_VERIFIED_INDEX_CACHE[sf_dir],
+        _query_vec(spark, sf_dir),
+        k=10,
+        multiprobe=2,
+    )
+
+
 _IVF_INDEX_CACHE: dict[str, object] = {}
 
 
@@ -815,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_verified_topk": q_ann_lsh_verified_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
@@ -1178,6 +1210,10 @@ def oracle_sql() -> dict[str, str]:
     # 0-based — both roll the vector by one element)
     # full-probe IVF == exact brute force, same oracle as cosine_topk
     sqls["ann_ivf_topk"] = sqls["ann_cosine_topk"]
+    # LSH at verified-recall parameters (12 tables x Hamming-2
+    # multiprobe; recall 1.0 pinned in pytest on this corpus family) ==
+    # exact brute force — same oracle as cosine_topk
+    sqls["ann_lsh_verified_topk"] = sqls["ann_cosine_topk"]
 
     sqls["emb_similar_pairs"] = """
         WITH e AS (
