@@ -159,24 +159,42 @@ def bucket_of_doc(doc_id: int, n_buckets: int) -> int:
     return ((doc_id ^ (1 << 63)) & ((1 << 64) - 1)) >> shift
 
 
-def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast):
+def bucket_of_docs_np(docs: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Vectorized bucket_of_doc over an int64 array (bit-reinterpret to
+    uint64 == the JVM's biased unsigned shift; parity with bucket_col /
+    bucket_of_doc is pinned in tests/test_segments.py). The encode
+    kernel recomputes buckets from doc ids with this instead of
+    shuffling a bucket column — the bucket is derived data, and the
+    exchange is the encode path's measured scaling bottleneck."""
+    if n_buckets == 1:
+        return np.zeros(len(docs), dtype=np.int64)
+    shift = 64 - int(math.log2(n_buckets))
+    return (
+        (docs.view(np.uint64) ^ np.uint64(1 << 63)) >> np.uint64(shift)
+    ).astype(np.int64)
+
+
+def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast,
+             n_buckets: int):
     """Streaming per-PARTITION encoder (mapInPandas).
 
-    Input partitions are hash-distributed by bucket and sorted by
-    (bucket, term, doc_id); the kernel walks group boundaries with numpy
-    and carries the trailing partial (bucket, term) run across Arrow
-    batch boundaries. One python invocation per Arrow batch — NOT one
-    per (bucket, term) group, which at web scale (10^5 terms x 10^3
+    Input partitions are range-distributed by (bucket, term) and sorted
+    by (bucket, term, doc_id); the kernel walks group boundaries with
+    numpy and carries the trailing partial (bucket, term) run across
+    Arrow batch boundaries. One python invocation per Arrow batch — NOT
+    one per (bucket, term) group, which at web scale (10^5 terms x 10^3
     buckets) would pay the per-group pandas overhead ~10^8 times.
 
-    Shuffle-width contract: rows arrive as (bucket, term_id, doc_id,
-    tfdl) — tf and dl packed into ONE int64 ((tf<<32)|dl; both are
-    bounded by document length << 2^31), and df is NOT a shuffle column
-    at all: term_ids are dense ranks, so per-term df rides in as
-    `df_bcast`, a term_id-indexed int64 numpy array broadcast once per
-    build (the same vocabulary-sized payload the pre-exchange broadcast
-    join already ships). The exchange — the encode path's measured
-    scaling bottleneck — carries 24 B/row instead of 40.
+    Shuffle-width contract: rows arrive as (term_id, doc_id, tfdl) —
+    tf and dl packed into ONE int64 ((tf<<32)|dl; both are bounded by
+    document length << 2^31). Neither df NOR THE BUCKET is a shuffle
+    column: term_ids are dense ranks, so per-term df rides in as
+    `df_bcast` (a term_id-indexed int64 numpy array broadcast once per
+    build), and the bucket is DERIVED data — top bits of the biased doc
+    id — recomputed vectorized from doc_id on both sides (JVM
+    partitioning expression / numpy in the kernel, bucket_of_docs_np).
+    The exchange — the encode path's measured scaling bottleneck —
+    carries 20 B/row instead of the naive 44.
     """
 
     def encode_stream(batches):
@@ -189,7 +207,7 @@ def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast):
                 continue
             # trailing (possibly incomplete) group = contiguous suffix
             # with the last row's (bucket, term_id)
-            b = pdf["bucket"].to_numpy()
+            b = bucket_of_docs_np(pdf["doc_id"].to_numpy(np.int64), n_buckets)
             t = pdf["term_id"].to_numpy()
             last_b, last_t = b[-1], t[-1]
             in_tail = (b == last_b) & (t == last_t)
@@ -199,13 +217,17 @@ def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast):
             carry = pdf.iloc[tail_start:]
             body = pdf.iloc[:tail_start]
             if len(body):
-                yield _encode_body(body)
+                yield _encode_body(body, b[:tail_start])
         if carry is not None and len(carry):
-            yield _encode_body(carry)
+            yield _encode_body(
+                carry,
+                bucket_of_docs_np(
+                    carry["doc_id"].to_numpy(np.int64), n_buckets
+                ),
+            )
 
-    def _encode_body(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _encode_body(pdf: pd.DataFrame, b: np.ndarray) -> pd.DataFrame:
         n = len(pdf)
-        b = pdf["bucket"].to_numpy(np.int64)
         terms = pdf["term_id"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         tfdl = pdf["tfdl"].to_numpy(np.int64)
@@ -568,13 +590,17 @@ def encoded_blocks(
         is BROADCAST — the postings (the 100 TB side) are never
         shuffled for a join; no SortMergeJoin anywhere.
       * the dictionary join happens BEFORE the exchange so the shuffle
-        carries exactly (term_id int, doc_id long, tfdl long, bucket
-        int) = 24 B/row — no term strings, tf+dl packed into one int64,
-        and df not shuffled at all (re-attached inside the encoder from
-        the term_id-indexed broadcast array, `df_lookup_broadcast`).
-        The shuffle is the encode path's measured scaling bottleneck;
-        every byte through the range partitioner costs both bandwidth
-        and comparator time.
+        carries exactly (term_id int, doc_id long, tfdl long) =
+        20 B/row — no term strings, tf+dl packed into one int64, df not
+        shuffled at all (re-attached inside the encoder from the
+        term_id-indexed broadcast array, `df_lookup_broadcast`), and
+        the BUCKET not shuffled either: it's derived data (top bits of
+        the biased doc id), so the range partitioner and the in-
+        partition sort evaluate it as an EXPRESSION over doc_id and the
+        kernel recomputes it vectorized (bucket_of_docs_np). The
+        shuffle is the encode path's measured scaling bottleneck; every
+        byte through the range partitioner costs both bandwidth and
+        comparator time.
       * exactly ONE shuffle of the postings: the range repartition that
         IS the index layout. Parallelism is sized to the cluster, not
         the bucket count — range partitioning by (bucket, term_id)
@@ -586,22 +612,32 @@ def encoded_blocks(
     """
     if df_bcast is None:
         df_bcast = df_lookup_broadcast(dictionary)
-    p = (
-        idx.postings.join(F.broadcast(dictionary.select("term", "term_id")), "term")
-        .select(
-            "term_id",
-            "doc_id",
-            F.shiftleft(F.col("tf"), 32).bitwiseOR(F.col("dl")).alias("tfdl"),
-            bucket_col(F.col("doc_id"), n_buckets).alias("bucket"),
-        )
-        .filter(F.col("bucket").isin(buckets))
+    bexpr = bucket_col(F.col("doc_id"), n_buckets)
+    p = idx.postings.join(
+        F.broadcast(dictionary.select("term", "term_id")), "term"
+    ).select(
+        "term_id",
+        "doc_id",
+        F.shiftleft(F.col("tf"), 32).bitwiseOR(F.col("dl")).alias("tfdl"),
     )
-    encode = _encoder(idx.stats.n_docs, idx.stats.avgdl, block_size, df_bcast)
+    if len(buckets) < n_buckets:
+        # partial-group (resume) builds filter pre-shuffle; the common
+        # all-buckets build skips the per-row isin entirely
+        p = p.filter(bexpr.isin(buckets))
+    encode = _encoder(
+        idx.stats.n_docs, idx.stats.avgdl, block_size, df_bcast, n_buckets
+    )
+    # n_buckets == 1: the bucket expression is the constant 0 (not a
+    # legal sort/partition key) and carries no information — range by
+    # term alone
+    keys = (
+        [F.col("term_id")]
+        if n_buckets == 1
+        else [bexpr, F.col("term_id")]
+    )
     return (
-        p.repartitionByRange(
-            max(len(buckets), parallelism), "bucket", "term_id"
-        )
-        .sortWithinPartitions("bucket", "term_id", "doc_id")
+        p.repartitionByRange(max(len(buckets), parallelism), *keys)
+        .sortWithinPartitions(*keys, F.col("doc_id"))
         .mapInPandas(encode, SEG_SCHEMA)
     )
 

@@ -235,3 +235,25 @@ def test_bucketed_table_staleness_guard(spark, tmp_path):
     idx_a.postings.unpersist()
     idx_b.postings.unpersist()
     spark.sql("DROP TABLE IF EXISTS stale_guard_tbl")
+
+
+def test_bucket_of_docs_np_parity():
+    """The kernel's vectorized bucket derivation must equal the scalar
+    bucket_of_doc and hence the JVM bucket_col expression for every
+    sign/extreme — the encode shuffle drops the bucket column on the
+    strength of this identity."""
+    import numpy as np
+
+    from fornax_spark.fulltext.segments import bucket_of_doc, bucket_of_docs_np
+
+    rng = np.random.default_rng(7)
+    docs = np.concatenate([
+        rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64),
+        np.array([0, 1, -1, 2**63 - 1, -(2**63), 42, -42], dtype=np.int64),
+    ])
+    for n_buckets in (1, 2, 16, 64, 1024):
+        want = np.array(
+            [bucket_of_doc(int(d), n_buckets) for d in docs], dtype=np.int64
+        )
+        got = bucket_of_docs_np(docs, n_buckets)
+        assert (got == want).all(), n_buckets
