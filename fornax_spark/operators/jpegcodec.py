@@ -11,7 +11,8 @@ tests/test_imagecodec.py.
 Scope (documented subset, mirrors what `encode_jpeg` emits):
 
 * 8-bit baseline DCT, single interleaved scan
-* 1 component (grayscale) or 3 components YCbCr with 4:4:4 sampling
+* 1 component (grayscale) or 3 components YCbCr with 4:4:4 or 4:2:0
+  sampling (2x2 luma MCUs — the mode most real-world JFIFs use)
 * no progressive mode, no restart markers, no arithmetic coding
 
 Anything outside the subset raises ValueError naming the feature, so a
@@ -169,18 +170,6 @@ def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255).astype(np.int64)
 
 
-def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad (edge-replicate) to multiples of 8 and return (n,8,8) blocks
-    in raster MCU order plus the padded block grid shape."""
-    h, w = plane.shape
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    return blocks, bh, bw
-
-
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -258,16 +247,41 @@ def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def _plane_blocks_q(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """plane (already padded to 8-multiples) -> quantized (n,8,8) DCT
+    blocks in raster order."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
+    return np.round(coef / qt[None, :, :]).astype(np.int64)
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
     """Encode HxW (grayscale) or HxWx3 (RGB) uint8 to baseline JFIF.
 
-    4:4:4 sampling, single interleaved scan, Annex K tables scaled by
-    `quality` — exactly the subset decode_jpeg supports."""
+    `subsampling`: "444" (every component full resolution) or "420"
+    (chroma 2x2 mean-downsampled, 16x16 luma MCUs — the mode most
+    found-in-the-wild JFIFs use; ignored for grayscale). Single
+    interleaved scan, Annex K tables scaled by `quality` — exactly the
+    subset decode_jpeg supports."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_jpeg wants uint8 HxW or HxWx3")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    sub420 = subsampling == "420" and not gray
+    # per-component (h_factor, v_factor)
+    sampling = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * (
+        1 if gray else 3
+    )
     if gray:
         planes = [img.astype(np.float64)]
     else:
@@ -283,13 +297,22 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     qc = _scale_quant(QUANT_CHROMA, quality)
     qtabs = [ql] + ([qc, qc] if not gray else [])
 
-    comp_blocks = []
-    for plane, qt in zip(planes, qtabs):
-        blocks, _bh, _bw = _to_blocks(plane)
-        coef = np.einsum("ij,njk,lk->nil", _C, blocks - 128.0, _C)
-        comp_blocks.append(
-            np.round(coef / qt[None, :, :]).astype(np.int64)
+    # MCU geometry: pad every plane (edge-replicate) so full MCUs tile it
+    hmax = max(hs for hs, _vs in sampling)
+    vmax = max(vs for _hs, vs in sampling)
+    mcu_h = -(-h // (8 * vmax))
+    mcu_w = -(-w // (8 * hmax))
+    comp_blocks, grid_w = [], []
+    for (hs, vs), plane, qt in zip(sampling, planes, qtabs):
+        ph, pw = mcu_h * vmax * 8, mcu_w * hmax * 8
+        padded = np.pad(
+            plane, ((0, ph - h), (0, pw - w)), mode="edge"
         )
+        if (hs, vs) != (hmax, vmax):
+            # 2x2 mean downsample (the only ratio the subset emits)
+            padded = padded.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        comp_blocks.append(_plane_blocks_q(padded, qt))
+        grid_w.append(padded.shape[1] // 8)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -302,8 +325,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         out += _dqt_segment(1, qc)
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, _DC_LUMA)
     out += _dht_segment(1, 0, _AC_LUMA)
@@ -321,15 +344,20 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     dc_c = _huff_codes(*_DC_CHROMA)
     ac_c = _huff_codes(*_AC_CHROMA)
     writer = _BitWriter()
-    n_mcu = comp_blocks[0].shape[0]
     prev = [0] * ncomp
     zz = ZIGZAG
-    for m in range(n_mcu):
-        for ci in range(ncomp):
-            dc_tab = dc_l if ci == 0 else dc_c
-            ac_tab = ac_l if ci == 0 else ac_c
-            flat = comp_blocks[ci][m].reshape(64)[zz]
-            prev[ci] = _encode_block(flat, dc_tab, ac_tab, writer, prev[ci])
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (hs, vs) in enumerate(sampling):
+                dc_tab = dc_l if ci == 0 else dc_c
+                ac_tab = ac_l if ci == 0 else ac_c
+                for r in range(vs):
+                    for c in range(hs):
+                        bi = (my * vs + r) * grid_w[ci] + (mx * hs + c)
+                        flat = comp_blocks[ci][bi].reshape(64)[zz]
+                        prev[ci] = _encode_block(
+                            flat, dc_tab, ac_tab, writer, prev[ci]
+                        )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -388,12 +416,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF (the encode_jpeg subset: 8-bit, 4:4:4 or
-    grayscale, single interleaved scan) to HxW or HxWx3 uint8.
+    """Decode baseline JFIF (the encode_jpeg subset: 8-bit, grayscale
+    or YCbCr at 4:4:4 / 4:2:0, single interleaved scan) to HxW or
+    HxWx3 uint8.
 
     Raises ValueError naming the unsupported feature for progressive
-    scans, subsampled chroma, restart intervals, or 12-bit precision —
-    swap a production decoder into the `decoder=` hook for those."""
+    scans, sampling modes outside {4:4:4, 4:2:0}, restart intervals, or
+    12-bit precision — swap a production decoder into the `decoder=`
+    hook for those."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -443,11 +473,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0xF
+                if (hs, vs) not in ((1, 1), (2, 2)):
                     raise ValueError(
-                        "unsupported: subsampled chroma (only 4:4:4)"
+                        f"unsupported: sampling factor {hs}x{vs} "
+                        "(only 4:4:4 and 4:2:0)"
                     )
-                comps.append((cid, tq))
+                if ci > 0 and (hs, vs) != (1, 1):
+                    raise ValueError(
+                        "unsupported: subsampled luma / oversampled chroma"
+                    )
+                comps.append((cid, tq, hs, vs))
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -478,54 +514,72 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("missing SOF0/SOS")
     h, w, comps = frame
     ncomp = len(comps)
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcu_h = -(-h // (8 * vmax))
+    mcu_w = -(-w // (8 * hmax))
     reader = _BitReader(entropy)
-    out_planes = [
-        np.zeros((n_mcu, 8, 8), dtype=np.float64) for _ in range(ncomp)
+    # per-component block grid: MCUs always decode whole, so the grid is
+    # (mcu_h*vs, mcu_w*hs) blocks, cropped to the natural size afterward
+    grids = [
+        np.zeros((mcu_h * vs * 8, mcu_w * hs * 8), dtype=np.float64)
+        for _cid, _tq, hs, vs in comps
     ]
     prev = [0] * ncomp
-    for m in range(n_mcu):
-        for ci in range(ncomp):
-            _cid, dc_id, ac_id = scan[ci]
-            dc_t = htables[(0, dc_id)]
-            ac_t = htables[(1, ac_id)]
-            qt = qtables[comps[ci][1]]
-            flat = np.zeros(64, dtype=np.int64)
-            size = _read_huff_value(reader, dc_t)
-            diff = _extend(reader.bits(size), size) if size else 0
-            prev[ci] += diff
-            flat[0] = prev[ci]
-            k = 1
-            while k <= 63:
-                rs = _read_huff_value(reader, ac_t)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("coefficient index overrun")
-                flat[k] = _extend(reader.bits(size), size)
-                k += 1
-            blk = np.zeros(64, dtype=np.int64)
-            blk[ZIGZAG] = flat
-            coef = blk.reshape(8, 8) * qt
-            out_planes[ci][m] = (
-                np.einsum("ji,jk,kl->il", _C, coef.astype(np.float64), _C)
-                + 128.0
-            )
-    planes = []
-    for ci in range(ncomp):
-        grid = (
-            out_planes[ci]
-            .reshape(bh, bw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)[:h, :w]
+
+    def _decode_block(ci: int) -> np.ndarray:
+        _cid, dc_id, ac_id = scan[ci]
+        dc_t = htables[(0, dc_id)]
+        ac_t = htables[(1, ac_id)]
+        qt = qtables[comps[ci][1]]
+        flat = np.zeros(64, dtype=np.int64)
+        size = _read_huff_value(reader, dc_t)
+        diff = _extend(reader.bits(size), size) if size else 0
+        prev[ci] += diff
+        flat[0] = prev[ci]
+        k = 1
+        while k <= 63:
+            rs = _read_huff_value(reader, ac_t)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("coefficient index overrun")
+            flat[k] = _extend(reader.bits(size), size)
+            k += 1
+        blk = np.zeros(64, dtype=np.int64)
+        blk[ZIGZAG] = flat
+        coef = blk.reshape(8, 8) * qt
+        return (
+            np.einsum("ji,jk,kl->il", _C, coef.astype(np.float64), _C)
+            + 128.0
         )
-        planes.append(grid)
+
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (_cid, _tq, hs, vs) in enumerate(comps):
+                for r in range(vs):
+                    for c in range(hs):
+                        by, bx = my * vs + r, mx * hs + c
+                        grids[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = _decode_block(ci)
+    planes = []
+    for ci, (_cid, _tq, hs, vs) in enumerate(comps):
+        # crop to the component's natural size, then upsample (nearest)
+        # back to full resolution if it was subsampled
+        ch = -(-h * vs // vmax)
+        cw = -(-w * hs // hmax)
+        g = grids[ci][:ch, :cw]
+        if (hs, vs) != (hmax, vmax):
+            g = np.repeat(
+                np.repeat(g, vmax // vs, axis=0), hmax // hs, axis=1
+            )[:h, :w]
+        planes.append(g)
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes
