@@ -1002,17 +1002,62 @@ class CorpusHandle:
         through handle verbs with cascading statements
         (/root/reference/fornax/api.py:327-345); merge stays
         off-handle-path only for multi-store folds."""
-        from .fulltext.merge import merge_stores
-        from .fulltext.segments import (
-            _bucketed_manifest_path,
-            open_segments,
-        )
+        if not self._built():
+            raise ValueError(
+                f"corpus {self.name!r} has no built store yet: call "
+                "build(df) first"
+            )
+        return self._fold_generations([])
+
+    def add_docs(
+        self,
+        df: DataFrame,
+        doc_id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "CorpusHandle":
+        """Incremental ingest — the corpus-side analogue of GraphHandle
+        appends: encode `df` as a DELTA generation store (same bucket
+        layout) and fold it into the live store through the LSM merge
+        (new generation directory, atomic registry repoint, bucketed
+        re-publish). A doc_id already live in the corpus raises
+        ValueError from the merge's disjointness check (the reference's
+        duplicate-id IntegrityError, api.py:357-416); tombstone it first
+        via delete_docs to replace a document."""
+        from .fulltext.build import build_index_from_table
+        from .fulltext.segments import build_segments, open_segments
 
         if not self._built():
             raise ValueError(
                 f"corpus {self.name!r} has no built store yet: call "
                 "build(df) first"
             )
+        n_buckets = open_segments(self.path).n_buckets
+        delta_dir = self.path + ".delta"
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        idx = build_index_from_table(df, doc_id_col, text_col)
+        try:
+            delta = build_segments(
+                self.conn.spark, idx, delta_dir, n_buckets=n_buckets
+            )
+            return self._fold_generations([delta])
+        finally:
+            idx.postings.unpersist()
+            shutil.rmtree(delta_dir, ignore_errors=True)
+
+    def _fold_generations(self, extra_stores: list) -> "CorpusHandle":
+        """Shared compaction/append tail: merge the live store (+ any
+        delta stores) minus tombstones into a NEW generation directory,
+        atomically repoint the registry row, delete the old directory,
+        and re-publish the bucketed table under its previous name if one
+        was published (the ledger-fingerprint guard makes the old
+        snapshot unusable; re-publishing restores the shuffle-free query
+        form)."""
+        from .fulltext.merge import merge_stores
+        from .fulltext.segments import (
+            _bucketed_manifest_path,
+            open_segments,
+        )
+
         old_path = self.path
         table = None
         mp = _bucketed_manifest_path(old_path)
@@ -1027,7 +1072,11 @@ class CorpusHandle:
         while os.path.exists(f"{base}_g{gen}"):
             gen += 1
         new_path = f"{base}_g{gen}"
-        merge_stores(self.conn.spark, [open_segments(old_path)], new_path)
+        merge_stores(
+            self.conn.spark,
+            [open_segments(old_path), *extra_stores],
+            new_path,
+        )
         self._drop_bucketed_table()  # old table + blobs + manifest
         self._registry().set_path(self.corpus_id, new_path)
         shutil.rmtree(old_path, ignore_errors=True)

@@ -91,31 +91,82 @@ def merge_stores(
 ) -> SegmentStore:
     """Merge stores (disjoint doc sets) minus tombstones into out_path.
 
-    Tombstones = explicit `deleted_doc_ids` plus every input store's own
-    live-delete manifest (deletes.delete_docs) — a merge physically
-    drops the masked postings and the merged store starts clean."""
+    Tombstones are STORE-LOCAL: each input store's own live-delete
+    manifest (deletes.delete_docs) masks only THAT store's postings —
+    so LSM replacement works (tombstone the old copy, ingest the new
+    document in a later generation, merge). The explicit
+    `deleted_doc_ids` apply to every store (caller intent: delete the
+    document everywhere). A merge physically drops all masked postings
+    and the merged store starts clean.
+
+    Disjointness of LIVE documents is ENFORCED, not assumed: a live
+    doc_id present in two stores would silently double-count df and
+    ship two conflicting dl values through dropDuplicates — the
+    reference surfaces duplicate ids as primary-key IntegrityErrors
+    (/root/reference/fornax/api.py); here the merge raises ValueError.
+    The check is one extra aggregation over the already-persisted
+    decoded postings (src-tagged countDistinct)."""
     from .deletes import load_tombstones
 
     n_buckets = stores[0].n_buckets
     assert all(s.n_buckets == n_buckets for s in stores), "bucket layout must match"
-    tomb_set = set(int(x) for x in (deleted_doc_ids or []))
-    for s in stores:
-        t = load_tombstones(s)
-        if t is not None:
-            tomb_set.update(int(x) for x in t.doc_ids)
-    tomb = sorted(tomb_set)
+    explicit = sorted(set(int(x) for x in (deleted_doc_ids or [])))
+    n_tomb_total = len(explicit)
 
-    postings = None
-    for s in stores:
+    def _masked(si: int, s: SegmentStore) -> DataFrame:
+        nonlocal n_tomb_total
         p = blocks_to_postings(s.blocks(spark), s.dictionary(spark))
-        postings = p if postings is None else postings.unionByName(p)
-    if tomb:
-        postings = postings.filter(~F.col("doc_id").isin(tomb))
+        t = load_tombstones(s)
+        if t is not None and len(t.doc_ids):
+            own = sorted(int(x) for x in t.doc_ids)
+            n_tomb_total += len(own)
+            p = p.filter(~F.col("doc_id").isin(own))
+        return p
 
-    # exact merged-corpus stats (disjoint stores: one dl per doc) — the
-    # shared postings->index adapter, also the streamed-deltas entry
-    idx = index_from_postings(postings)
-    postings = idx.postings  # the persisted handle
+    if len(stores) == 1:
+        postings = _masked(0, stores[0])
+        if explicit:
+            postings = postings.filter(~F.col("doc_id").isin(explicit))
+        # single-store merge (compaction): the shared postings->index
+        # adapter, also the streamed-deltas entry point
+        idx = index_from_postings(postings)
+        postings = idx.postings  # the persisted handle
+    else:
+        from .build import CorpusStats, InvertedIndex, build_term_stats
+
+        tagged = None
+        for si, s in enumerate(stores):
+            p = _masked(si, s).withColumn("src", F.lit(si))
+            tagged = p if tagged is None else tagged.unionByName(p)
+        if explicit:
+            tagged = tagged.filter(~F.col("doc_id").isin(explicit))
+        postings = tagged.persist()
+        chk = postings.agg(
+            F.countDistinct("doc_id").alias("d"),
+            F.countDistinct("src", "doc_id").alias("sd"),
+        ).collect()[0]
+        if int(chk["d"]) != int(chk["sd"]):
+            overlap = int(chk["sd"]) - int(chk["d"])
+            postings.unpersist()
+            raise ValueError(
+                f"merge_stores: {overlap} live doc_id(s) present in more "
+                "than one input store — stores must hold disjoint "
+                "documents (tombstone the stale copy first)"
+            )
+        row = (
+            postings.dropDuplicates(["doc_id"])
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total"))
+            .collect()[0]
+        )
+        n = int(row["n"]) or 0
+        body = postings.select("term", "doc_id", "tf", "dl")
+        idx = InvertedIndex(
+            postings=body,
+            term_stats=build_term_stats(body),
+            stats=CorpusStats(
+                n_docs=n, avgdl=(float(row["total"]) / n) if n else 0.0
+            ),
+        )
     store = build_segments(
         spark, idx, out_path, n_buckets=n_buckets,
         block_size=block_size, group_size=n_buckets,
@@ -124,6 +175,6 @@ def merge_stores(
 
     ledger = _load_ledger(out_path)
     ledger["merged_from"] = [s.path for s in stores]
-    ledger["tombstones"] = len(tomb)
+    ledger["tombstones"] = n_tomb_total
     _save_ledger(out_path, ledger)
     return store

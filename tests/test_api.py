@@ -594,3 +594,63 @@ def test_corpus_compact_facade(spark, conn):
     c.compact()
     assert len(c) == 150 - len(gone)
     c.delete()
+
+
+def test_corpus_add_docs_facade(spark, conn):
+    """Incremental ingest through the handle (r6): add_docs folds a
+    delta generation into the live store — search afterward equals a
+    clean rebuild over the concatenated corpus; a duplicate doc_id
+    raises from the merge's disjointness check; a published bucketed
+    table is refreshed."""
+    import os
+
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.segments import (
+        BucketedSegmentStore,
+        build_segments,
+    )
+    from fornax_spark.fulltext.wand import search_segments
+
+    first = spark.createDataFrame(
+        [(i, f"fig date tok{i % 6}") for i in range(90)],
+        "doc_id long, text string",
+    )
+    more = spark.createDataFrame(
+        [(1000 + i, f"fig grape tok{i % 6}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    c = conn.create_corpus("growme").build(first, n_buckets=8)
+    c.publish_bucketed()
+    c.add_docs(more)
+    assert len(c) == 150
+    st = c._store()
+    assert isinstance(st, BucketedSegmentStore)  # re-published
+    assert st.n_docs == 150
+
+    both = first.unionByName(more)
+    idx = build_index_from_table(both)
+    ref = build_segments(
+        spark, idx, os.path.join(conn.root, "refboth"), n_buckets=8
+    )
+    for q in ["fig tok3", "grape tok1", "date"]:
+        want = [tuple(r) for r in search_segments(spark, ref, q, k=8).collect()]
+        assert [tuple(r) for r in c.search(q, k=8).collect()] == want
+    idx.postings.unpersist()
+
+    # duplicate doc_id -> loud failure, corpus unchanged
+    dup = spark.createDataFrame(
+        [(5, "smuggled duplicate")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="more than one input store"):
+        c.add_docs(dup)
+    assert len(c) == 150
+    # ...but a TOMBSTONED id may be re-ingested (replace = delete + add)
+    c.delete_docs([5])
+    assert len(c) == 149
+    c.add_docs(spark.createDataFrame(
+        [(5, "replacement text fig")], "doc_id long, text string"
+    ))
+    assert len(c) == 150
+    got = {r["doc_id"] for r in c.search("replacement", k=3).collect()}
+    assert got == {5}
+    c.delete()
