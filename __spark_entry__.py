@@ -103,6 +103,9 @@ def _cleanup_store_dirs() -> None:
     for store in _FT_STORE_CACHE.values():
         _shutil.rmtree(store.path, ignore_errors=True)
     _FT_STORE_CACHE.clear()
+    for store in _FT_PSTORE_CACHE.values():
+        _shutil.rmtree(store.path, ignore_errors=True)
+    _FT_PSTORE_CACHE.clear()
 
 
 import atexit as _atexit  # noqa: E402
@@ -128,6 +131,9 @@ def reset_ft_caches() -> None:
     for store in _FT_STORE_CACHE.values():
         _shutil.rmtree(store.path, ignore_errors=True)
     _FT_STORE_CACHE.clear()
+    for store in _FT_PSTORE_CACHE.values():
+        _shutil.rmtree(store.path, ignore_errors=True)
+    _FT_PSTORE_CACHE.clear()
     # bucketed handles point at the directory stores deleted above;
     # the table itself is re-droppable by the next as_bucketed_table
     _FT_BSTORE_CACHE.clear()
@@ -213,6 +219,39 @@ def q_ft_bm25_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = search_segments(spark, _ft_bucketed_store(spark, sf_dir),
                           FT_QUERY, k=FT_K)
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+_FT_PSTORE_CACHE: dict[str, object] = {}
+
+
+def q_ft_bm25_topk_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query and oracle as ft_bm25_topk_segments, answered from a
+    store whose posting blocks are PForDelta-coded (fulltext/pfor.py,
+    build_segments codec="pfor"): bit-packed payloads + out-of-band
+    exceptions instead of delta+LEB128 varints. The identical DuckDB
+    oracle gates codec independence — the codec changes bytes on disk,
+    never BM25 semantics — and the ledger-recorded codec drives every
+    decode dispatch (codec.get_codec)."""
+    import tempfile
+
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_segments
+
+    if sf_dir not in _FT_PSTORE_CACHE:
+        idx = _ft_index(spark, sf_dir)
+        import os as _os
+
+        _FT_PSTORE_CACHE[sf_dir] = build_segments(
+            spark, idx, tempfile.mkdtemp(
+                prefix="fornax_entry_pfor_",
+                dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+            ),
+            n_buckets=32, codec="pfor",
+        )
+    out = search_segments(spark, _FT_PSTORE_CACHE[sf_dir], FT_QUERY, k=FT_K)
     return out.select(
         "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
     )
@@ -816,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_topk_segments": q_ft_bm25_topk_segments,
         "ft_bm25_topk_bucketed": q_ft_bm25_topk_bucketed,
+        "ft_bm25_topk_pfor": q_ft_bm25_topk_pfor,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -859,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["ft_bm25_topk"] = BM25_SQL
     sqls["ft_bm25_topk_segments"] = BM25_SQL
+    sqls["ft_bm25_topk_pfor"] = BM25_SQL
     # bit-identical to the segment path by the bucketed-store plan test
     sqls["ft_bm25_topk_bucketed"] = BM25_SQL
 

@@ -937,11 +937,16 @@ class CorpusHandle:
         doc_id_col: str = "doc_id",
         text_col: str = "text",
         n_buckets: int = 32,
+        codec: str = "varint",
     ) -> "CorpusHandle":
         """Encode `df` (doc_id, text) into this corpus's segment store.
         One build per corpus (the store layout is append-by-merge, not
         in-place): rebuilding an already-built corpus raises — delete
-        and recreate, or use delete_docs for removals."""
+        and recreate, or use delete_docs for removals.
+
+        codec: posting-block codec ("varint" default, or "pfor" —
+        fulltext/pfor.py); recorded in the store ledger, every later
+        verb (search, delete_docs, add_docs, compact) dispatches on it."""
         if self._built():
             raise ValueError(
                 f"corpus {self.name!r} is already built: delete() and "
@@ -953,7 +958,8 @@ class CorpusHandle:
         idx = build_index_from_table(df, doc_id_col, text_col)
         try:
             build_segments(
-                self.conn.spark, idx, self.path, n_buckets=n_buckets
+                self.conn.spark, idx, self.path, n_buckets=n_buckets,
+                codec=codec,
             )
         finally:
             idx.postings.unpersist()
@@ -1031,13 +1037,17 @@ class CorpusHandle:
                 f"corpus {self.name!r} has no built store yet: call "
                 "build(df) first"
             )
-        n_buckets = open_segments(self.path).n_buckets
+        live = open_segments(self.path)
+        n_buckets = live.n_buckets
         delta_dir = self.path + ".delta"
         shutil.rmtree(delta_dir, ignore_errors=True)
         idx = build_index_from_table(df, doc_id_col, text_col)
         try:
+            # the delta generation inherits the live store's codec so
+            # every generation of one corpus stays uniformly encoded
             delta = build_segments(
-                self.conn.spark, idx, delta_dir, n_buckets=n_buckets
+                self.conn.spark, idx, delta_dir, n_buckets=n_buckets,
+                codec=live.codec,
             )
             return self._fold_generations([delta])
         finally:

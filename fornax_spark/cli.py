@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
         "--group-size", type=int, default=None,
         help="buckets per resume checkpoint (default: all in one job)",
     )
+    b.add_argument(
+        "--codec", default="varint", choices=["varint", "pfor"],
+        help="posting-block codec (recorded in the store ledger)",
+    )
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
@@ -88,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         idx = build_index(spark, spark.read.parquet(args.pages))
         store = build_segments(
             spark, idx, args.out, n_buckets=args.buckets,
-            group_size=args.group_size,
+            group_size=args.group_size, codec=args.codec,
         )
         secs = time.time() - t0
         print(

@@ -21,6 +21,28 @@ _U64 = np.uint64
 _OFFSET = np.uint64(1 << 63)  # signed int64 -> uint64 order-preserving bias
 
 
+def get_codec(name: str):
+    """Resolve a posting-block codec module by its ledger name.
+
+    The store ledger records which codec wrote the blobs
+    (`build_segments(..., codec=...)`); every decode path (wand, merge,
+    deletes) resolves the module through this registry so a store is
+    always read with the codec that encoded it. Modules share one
+    contract: encode_blocks_batch / delta_encode_docids /
+    delta_decode_docids / encode_counts / decode_counts."""
+    if name in (None, "", "varint"):
+        import sys
+
+        return sys.modules[__name__]
+    if name == "pfor":
+        from . import pfor  # lazy: pfor imports this module
+
+        return pfor
+    raise ValueError(
+        f"unknown posting codec {name!r}: expected 'varint' or 'pfor'"
+    )
+
+
 def _to_u64_biased(a: np.ndarray) -> np.ndarray:
     """Order-preserving map int64 -> uint64 (x + 2^63)."""
     return (a.astype(np.int64).view(_U64) + _OFFSET).astype(_U64)

@@ -100,6 +100,7 @@ def delete_docs(
 
     if len(new_ids):
         target = new_ids  # closure constant (small; broadcast with task)
+        cmod = codec.get_codec(store.codec)  # the codec that wrote the blobs
 
         def scan(batches):
             # batched over the whole Arrow frame (the np.repeat pattern
@@ -112,7 +113,7 @@ def delete_docs(
                 ns = pdf["n"].to_numpy(np.int64)
                 docs = np.concatenate(
                     [
-                        codec.delta_decode_docids(bytes(b), int(n))
+                        cmod.delta_decode_docids(bytes(b), int(n))
                         for b, n in zip(pdf["doc_blob"], ns)
                     ]
                 )
@@ -121,7 +122,7 @@ def delete_docs(
                     continue
                 dls = np.concatenate(
                     [
-                        codec.decode_counts(bytes(b), int(n))
+                        cmod.decode_counts(bytes(b), int(n))
                         for b, n in zip(pdf["dl_blob"], ns)
                     ]
                 )

@@ -34,20 +34,23 @@ from .segments import SegmentStore, _load_ledger, _save_ledger, build_segments
 _ID_POSTINGS_SCHEMA = "term_id int, doc_id long, tf long, dl long"
 
 
-def blocks_to_postings(blocks: DataFrame, dictionary: DataFrame) -> DataFrame:
+def blocks_to_postings(
+    blocks: DataFrame, dictionary: DataFrame, codec_mod=codec
+) -> DataFrame:
     """Decode segment blocks back into postings rows (narrow map), then
     restore term strings via the store's own dictionary (broadcast —
     term ids are store-local; a merge across stores must go back to the
-    global key, the term string)."""
+    global key, the term string). codec_mod: the codec module that
+    WROTE this store's blobs (codec.get_codec(store.codec))."""
 
     def decode(batches):
         for pdf in batches:
             terms, ns, docs, tfs, dls = [], [], [], [], []
             for r in pdf.itertuples(index=False):
                 n = int(r.n)
-                docs.append(codec.delta_decode_docids(bytes(r.doc_blob), n))
-                tfs.append(codec.decode_counts(bytes(r.tf_blob), n))
-                dls.append(codec.decode_counts(bytes(r.dl_blob), n))
+                docs.append(codec_mod.delta_decode_docids(bytes(r.doc_blob), n))
+                tfs.append(codec_mod.decode_counts(bytes(r.tf_blob), n))
+                dls.append(codec_mod.decode_counts(bytes(r.dl_blob), n))
                 terms.append(int(r.term_id))
                 ns.append(n)
             if not terms:
@@ -88,6 +91,7 @@ def merge_stores(
     out_path: str,
     deleted_doc_ids: list[int] | None = None,
     block_size: int = codec.BLOCK_SIZE,
+    out_codec: str | None = None,
 ) -> SegmentStore:
     """Merge stores (disjoint doc sets) minus tombstones into out_path.
 
@@ -115,7 +119,9 @@ def merge_stores(
 
     def _masked(si: int, s: SegmentStore) -> DataFrame:
         nonlocal n_tomb_total
-        p = blocks_to_postings(s.blocks(spark), s.dictionary(spark))
+        p = blocks_to_postings(
+            s.blocks(spark), s.dictionary(spark), codec.get_codec(s.codec)
+        )
         t = load_tombstones(s)
         if t is not None and len(t.doc_ids):
             own = sorted(int(x) for x in t.doc_ids)
@@ -170,6 +176,10 @@ def merge_stores(
     store = build_segments(
         spark, idx, out_path, n_buckets=n_buckets,
         block_size=block_size, group_size=n_buckets,
+        # a compaction keeps the inputs' codec by default (inputs may
+        # mix codecs — decode always goes store-by-store above — so the
+        # default follows the first store; pass out_codec to transcode)
+        codec=out_codec if out_codec is not None else stores[0].codec,
     )
     postings.unpersist()
 

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from . import bm25, codec
 from .build import InvertedIndex
+from .codec import get_codec
 
 SEG_SCHEMA = (
     "bucket int, term_id int, block_id int, n int, df long, "
@@ -175,7 +176,7 @@ def bucket_of_docs_np(docs: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast,
-             n_buckets: int):
+             n_buckets: int, codec_mod=codec):
     """Streaming per-PARTITION encoder (mapInPandas).
 
     Input partitions are range-distributed by (bucket, term) and sorted
@@ -268,7 +269,7 @@ def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast,
         be = np.append(bs[1:], n)
 
         scores = bm25.term_score(tf, dl, dfs.astype(np.float64), n_docs, avgdl)
-        doc_blobs, tf_blobs, dl_blobs = codec.encode_blocks_batch(
+        doc_blobs, tf_blobs, dl_blobs = codec_mod.encode_blocks_batch(
             docs, tf, dl, bs
         )
         return pd.DataFrame(
@@ -296,6 +297,9 @@ class SegmentStore:
     n_docs: int
     avgdl: float
     n_buckets: int
+    #: posting-block codec that wrote the blobs (ledger-recorded;
+    #: codec.get_codec resolves it on every decode path)
+    codec: str = "varint"
 
     @property
     def data_path(self) -> str:
@@ -432,6 +436,7 @@ def as_bucketed_table(
         n_docs=store.n_docs,
         avgdl=store.avgdl,
         n_buckets=store.n_buckets,
+        codec=store.codec,
         table=table_name,
     )
 
@@ -536,6 +541,7 @@ def open_bucketed_table(
         n_docs=base.n_docs,
         avgdl=base.avgdl,
         n_buckets=base.n_buckets,
+        codec=base.codec,
         table=table,
     )
 
@@ -582,6 +588,7 @@ def encoded_blocks(
     block_size: int,
     parallelism: int,
     df_bcast=None,
+    codec_name: str = "varint",
 ) -> DataFrame:
     """The encode plan for one bucket group: postings -> posting blocks.
 
@@ -625,7 +632,8 @@ def encoded_blocks(
         # all-buckets build skips the per-row isin entirely
         p = p.filter(bexpr.isin(buckets))
     encode = _encoder(
-        idx.stats.n_docs, idx.stats.avgdl, block_size, df_bcast, n_buckets
+        idx.stats.n_docs, idx.stats.avgdl, block_size, df_bcast, n_buckets,
+        codec_mod=codec.get_codec(codec_name),
     )
     # n_buckets == 1: the bucket expression is the constant 0 (not a
     # legal sort/partition key) and carries no information — range by
@@ -651,8 +659,15 @@ def build_segments(
     group_size: int | None = None,
     fail_after_groups: int | None = None,
     code_version: str = "fornax_spark-0.1",
+    codec: str = "varint",
 ) -> SegmentStore:
     """Encode the index into a segment store, resumable per bucket group.
+
+    codec: posting-block codec name — "varint" (default, delta+LEB128)
+    or "pfor" (NewPFD bit-packing, fulltext/pfor.py). Recorded in the
+    ledger stats so every decode path reads blobs with the codec that
+    wrote them, and so a resume under a DIFFERENT codec wipes and
+    rebuilds instead of mixing blob formats.
 
     group_size: buckets per atomic write + ledger row. Default = ALL
     buckets in one Spark job — the group loop exists only as the resume
@@ -667,9 +682,10 @@ def build_segments(
         group_size = n_buckets
     os.makedirs(path, exist_ok=True)
     ledger = _load_ledger(path)
+    get_codec(codec)  # fail fast on a typo, before touching the ledger
     stats_now = {"n_docs": idx.stats.n_docs, "avgdl": idx.stats.avgdl,
                  "n_buckets": n_buckets, "block_size": block_size,
-                 "format": STORE_FORMAT}
+                 "format": STORE_FORMAT, "codec": codec}
     # Resume safety: a ledger written under a different layout, corpus or
     # store format must not be silently mixed with this run (stale
     # bucket=N dirs from a wider layout would read back as valid blocks
@@ -721,7 +737,7 @@ def build_segments(
         t0 = time.time()
         enc = encoded_blocks(
             idx, dictionary, buckets, n_buckets, block_size, parallelism,
-            df_bcast=df_bcast,
+            df_bcast=df_bcast, codec_name=codec,
         )
         out_dir = os.path.join(path, "segments")
         # idempotent per-group write: overwrite only this group's bucket dirs
@@ -782,6 +798,7 @@ def build_segments(
         n_docs=idx.stats.n_docs,
         avgdl=idx.stats.avgdl,
         n_buckets=n_buckets,
+        codec=codec,
     )
 
 
@@ -793,4 +810,5 @@ def open_segments(path: str) -> SegmentStore:
         n_docs=s["n_docs"],
         avgdl=s["avgdl"],
         n_buckets=s["n_buckets"],
+        codec=s.get("codec", "varint"),
     )

@@ -40,11 +40,13 @@ from .textproc import tokenize
 _OUT_SCHEMA = "doc_id long, score double"
 
 
-def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decode_block(
+    row, codec_mod=codec
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = int(row.n)
-    docs = codec.delta_decode_docids(bytes(row.doc_blob), n)
-    tf = codec.decode_counts(bytes(row.tf_blob), n)
-    dl = codec.decode_counts(bytes(row.dl_blob), n)
+    docs = codec_mod.delta_decode_docids(bytes(row.doc_blob), n)
+    tf = codec_mod.decode_counts(bytes(row.tf_blob), n)
+    dl = codec_mod.decode_counts(bytes(row.dl_blob), n)
     return docs, tf, dl
 
 
@@ -206,7 +208,7 @@ def _group_blocks_by_term(pdf: pd.DataFrame) -> dict[int, list]:
     return by_term
 
 
-def _make_scored_cache(n_docs: int, avgdl: float, tomb=None):
+def _make_scored_cache(n_docs: int, avgdl: float, tomb=None, codec_mod=codec):
     """Per-block memo keyed by (term_id, block_id) of the fully SCORED
     block: (alive docs, their BM25 contributions). The contribution of
     term t to doc d — idf(df_t) x tf-saturation(tf, dl) — depends only
@@ -221,7 +223,7 @@ def _make_scored_cache(n_docs: int, avgdl: float, tomb=None):
         key = (t, int(row.block_id))
         hit = cache.get(key)
         if hit is None:
-            docs, tf, dl = _decode_block(row)
+            docs, tf, dl = _decode_block(row, codec_mod)
             if tomb is not None and len(tomb.doc_ids):
                 alive = ~np.isin(docs, tomb.doc_ids, assume_unique=True)
                 docs, tf, dl = docs[alive], tf[alive], dl[alive]
@@ -239,14 +241,15 @@ def _make_scored_cache(n_docs: int, avgdl: float, tomb=None):
     return scored
 
 
-def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float, tomb=None):
+def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float,
+                         tomb=None, codec_mod=codec):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"doc_id": [], "score": []})
         by_term = _group_blocks_by_term(pdf)
         res = _score_one_query(
             by_term, list(by_term), k, prune, n_docs, avgdl,
-            _make_scored_cache(n_docs, avgdl, tomb), tomb,
+            _make_scored_cache(n_docs, avgdl, tomb, codec_mod), tomb,
         )
         if res is None:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -258,7 +261,7 @@ def _score_bucket_kernel(k: int, prune: bool, n_docs: int, avgdl: float, tomb=No
 
 def _score_bucket_kernel_batch(
     queries: list[tuple[int, list[str], int]], prune: bool, n_docs: int,
-    avgdl: float, tomb=None,
+    avgdl: float, tomb=None, codec_mod=codec,
 ):
     """Batched variant: score every query in one pass per bucket through
     the SAME MaxScore-pruned routine as the single-query path, sharing
@@ -269,7 +272,7 @@ def _score_bucket_kernel_batch(
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
         by_term = _group_blocks_by_term(pdf)
-        scored = _make_scored_cache(n_docs, avgdl, tomb)
+        scored = _make_scored_cache(n_docs, avgdl, tomb, codec_mod)
 
         out_q, out_d, out_s = [], [], []
         for qid, terms, k in queries:
@@ -356,7 +359,9 @@ def search_segments_batch(
         )
     blocks = store.blocks(spark).filter(F.col("term_id").isin(all_ids))
     tomb, n_docs, avgdl = _store_tombstones(store)
-    kern = _score_bucket_kernel_batch(qs, prune, n_docs, avgdl, tomb)
+    kern = _score_bucket_kernel_batch(
+        qs, prune, n_docs, avgdl, tomb, codec.get_codec(store.codec)
+    )
     per_bucket = blocks.groupBy("bucket").applyInPandas(
         kern, "query_id long, doc_id long, score double"
     )
@@ -407,7 +412,9 @@ def search_segments(
         return spark.createDataFrame([], "rank int, doc_id long, score double")
     blocks = store.blocks(spark).filter(F.col("term_id").isin(ids))
     tomb, n_docs, avgdl = _store_tombstones(store)
-    kern = _score_bucket_kernel(k, prune, n_docs, avgdl, tomb)
+    kern = _score_bucket_kernel(
+        k, prune, n_docs, avgdl, tomb, codec.get_codec(store.codec)
+    )
     per_bucket = blocks.groupBy("bucket").applyInPandas(kern, _OUT_SCHEMA)
     topk = per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     from pyspark.sql import Window
