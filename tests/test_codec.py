@@ -118,46 +118,51 @@ def test_encode_body_unsorted_fallback():
     import pandas as pd
 
     from fornax_spark.fulltext import codec
-    from fornax_spark.fulltext.segments import _encoder
+    from fornax_spark.fulltext.segments import _encoder, bucket_of_docs_np
 
     class B:
         def __init__(self, v):
             self.value = v
 
+    n_buckets = 4
     rng = np.random.default_rng(3)
     n = 5000
     t = rng.integers(0, 40, n).astype(np.int64)
     d = rng.choice(10**6, size=n, replace=False).astype(np.int64)
     tf = rng.integers(1, 5, n).astype(np.int64)
     dl = rng.integers(10, 500, n).astype(np.int64)
+    # since the shuffle stopped carrying the bucket column (r6), the
+    # kernel derives buckets from doc ids — the frames carry only
+    # (term_id, doc_id, tfdl) and the sorted frame orders by the SAME
+    # derivation the kernel recomputes
     pdf = pd.DataFrame(
         {
-            "bucket": (t % 4).astype(np.int32),
             "term_id": t.astype(np.int32),
             "doc_id": d,
             "tfdl": (tf << 32) | dl,
         }
     )
     dfv = np.bincount(t, minlength=64).astype(np.int64)
-    enc = _encoder(1000, 100.0, codec.BLOCK_SIZE, B(dfv))
+    enc = _encoder(1000, 100.0, codec.BLOCK_SIZE, B(dfv), n_buckets)
     # NB the STREAM-level carry split still requires the trailing
     # (bucket, term) group to be contiguous at the end (that contract
     # belongs to the Spark layout, not the kernel); pin a sentinel
     # trailing group on both frames so only intra-call ordering varies.
+    # doc_id 2^62 lands in the LAST bucket (top bits of the biased id)
+    # and term 60 > every body term, so the sorted frame stays on the
+    # order-check fast path while the shuffled frame takes the lexsort
+    # fallback.
     sentinel = pd.DataFrame(
-        {"bucket": np.int32(60), "term_id": np.int32(60),
-         "doc_id": np.int64(1), "tfdl": (np.int64(1) << 32) | 50},
+        {"term_id": np.int32(60),
+         "doc_id": np.int64(2**62), "tfdl": (np.int64(1) << 32) | 50},
         index=[0],
     )
-    srt = pd.concat(
-        [
-            pdf.sort_values(
-                ["bucket", "term_id", "doc_id"], kind="mergesort"
-            ),
-            sentinel,
-        ],
-        ignore_index=True,
+    srt = pdf.assign(
+        _b=bucket_of_docs_np(pdf["doc_id"].to_numpy(np.int64), n_buckets)
+    ).sort_values(["_b", "term_id", "doc_id"], kind="mergesort").drop(
+        columns="_b"
     )
+    srt = pd.concat([srt, sentinel], ignore_index=True)
     shuf = pd.concat(
         [pdf.sample(frac=1.0, random_state=5), sentinel],
         ignore_index=True,
