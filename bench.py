@@ -23,14 +23,20 @@ os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 
 
-def _host_control(gate: float = 0.95, max_tries: int = 5) -> tuple[float, list]:
+def _host_control(gate: float = 0.95, max_tries: int = 8) -> tuple[float, list]:
     """Adjacent pure-CPU host control (VERDICT r5 item 1): the machine's
     own delivered 2->8-worker CPU scaling, measured with NO Spark right
     before the suite — so a degraded-host window is visible INSIDE the
     artifact instead of needing cross-round forensics. Gate-retry: wait
     (20 s apart, up to max_tries) for a healthy window; every attempt is
     published. Runs before the JVM exists / after it stops, so the
-    control never competes with the thing it adjudicates."""
+    control never competes with the thing it adjudicates.
+
+    The gate is TWO-SIDED: a stable host reads ~1.0; c < gate means the
+    8-worker phase was squeezed, but c > 2-gate (superlinear) means the
+    2-worker DENOMINATOR phase stalled — the round-6 scaling runs
+    recorded 1.37/1.71 readings during windows that were demonstrably
+    unstable, so an anomalously HIGH control must not pass as healthy."""
     import time as _t
 
     sys.path.insert(
@@ -39,7 +45,7 @@ def _host_control(gate: float = 0.95, max_tries: int = 5) -> tuple[float, list]:
     from scaling import cpu_control
 
     attempts = [round(cpu_control(), 3)]
-    while attempts[-1] < gate and len(attempts) < max_tries:
+    while not (gate <= attempts[-1] <= 2 - gate) and len(attempts) < max_tries:
         _t.sleep(20)
         attempts.append(round(cpu_control(), 3))
     return attempts[-1], attempts
@@ -281,7 +287,13 @@ def main() -> None:
     )
     from scaling import cpu_control
 
-    out["host_control_post"] = round(max(cpu_control() for _ in range(3)), 3)
+    # post-run control: of 3 samples keep the one CLOSEST TO 1.0 — one
+    # near-ideal sample proves the host could deliver ideal scaling
+    # right after the run, while max() would crown a superlinear
+    # anomaly (stalled denominator phase) as "healthy"
+    out["host_control_post"] = round(
+        min((cpu_control() for _ in range(3)), key=lambda c: abs(1 - c)), 3
+    )
     print(json.dumps(out))
 
 

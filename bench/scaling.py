@@ -192,10 +192,18 @@ def run_level(
     # gate_control > 0 (VERDICT r3 item 2, option a) the level WAITS for
     # a healthy host: the control is re-measured until it clears the
     # gate (up to 5 tries, 20 s apart); every attempt is published.
+    # The gate is TWO-SIDED (r6): a stable host reads ~1.0 — readings
+    # ABOVE 2-gate are superlinear, i.e. the low-worker denominator
+    # phase itself stalled (observed 1.37/1.71 on demonstrably unstable
+    # windows), and must not pass as healthy.
     import time as _t
 
     attempts = [round(cpu_control(), 3)]
-    while gate_control and attempts[-1] < gate_control and len(attempts) < 5:
+    while (
+        gate_control
+        and not (gate_control <= attempts[-1] <= 2 - gate_control)
+        and len(attempts) < 5
+    ):
         _t.sleep(20)
         attempts.append(round(cpu_control(), 3))
     code = WORKER % {"repo": REPO, "cores": cores, "pages": pages_path, "seg": seg_base}
