@@ -247,6 +247,21 @@ def main() -> None:
         single.sort()
         p50 = single[len(single) // 2]
         p95 = single[min(len(single) - 1, int(len(single) * 0.95))]
+
+        # same ad-hoc queries with the driver-side term cache loaded
+        # (store.load_term_cache): the serving configuration — one job
+        # per query instead of lookup+score. Kept as a SEPARATE metric
+        # so p50/p95 stay comparable across rounds.
+        p50c = p95c = None
+        if store.load_term_cache(spark):
+            cached = []
+            for qt in qtexts[:12]:
+                t0 = time.time()
+                search_segments(spark, store, qt, k=10).count()
+                cached.append(time.time() - t0)
+            cached.sort()
+            p50c = cached[len(cached) // 2]
+            p95c = cached[min(len(cached) - 1, int(len(cached) * 0.95))]
         with open(os.path.join(seg_dir, "ledger.json")) as f:
             ledger = json.load(f)
         bytes_compressed = ledger.get("bytes_compressed_total", 0)
@@ -278,6 +293,8 @@ def main() -> None:
         "query_qps_batch_bucketed": round(qps_bucketed, 1),
         "query_p50_sec": round(p50, 3),
         "query_p95_sec": round(p95, 3),
+        "query_p50_dictcached_sec": round(p50c, 3) if p50c else None,
+        "query_p95_dictcached_sec": round(p95c, 3) if p95c else None,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()

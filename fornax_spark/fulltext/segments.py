@@ -39,6 +39,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+from dataclasses import field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -300,6 +301,36 @@ class SegmentStore:
     #: posting-block codec that wrote the blobs (ledger-recorded;
     #: codec.get_codec resolves it on every decode path)
     codec: str = "varint"
+    #: driver-side term -> term_id map (load_term_cache); never shipped
+    #: to executors — query kernels receive resolved 4-byte ids only
+    _term_cache: dict | None = field(
+        default=None, init=False, repr=False, compare=False
+    )
+
+    def load_term_cache(
+        self, spark: SparkSession, max_terms: int = 4_000_000
+    ) -> bool:
+        """Pull the term dictionary to the driver so query-term lookup
+        is a dict probe instead of a Spark job — the single-query
+        SERVING optimization: an ad-hoc `search_segments` call then
+        schedules ONE job (score+top-k) instead of two, which is most
+        of its latency floor at any corpus size.
+
+        Size-gated: vocabularies past `max_terms` (a python dict of
+        str->int runs ~100 B/term, so the default caps near ~0.5 GB of
+        driver heap) return False and leave the pushed-filter
+        dictionary scan in place — at 10^12-document web scale the
+        vocabulary belongs on executors, not the driver. Explicit
+        opt-in; batch queries already amortize one lookup job over the
+        whole batch and gain ~nothing."""
+        d = self.dictionary(spark)
+        if d.count() > max_terms:
+            return False
+        pdf = d.select("term", "term_id").toPandas()
+        self._term_cache = dict(
+            zip(pdf["term"], (int(x) for x in pdf["term_id"]))
+        )
+        return True
 
     @property
     def data_path(self) -> str:
@@ -319,10 +350,14 @@ class SegmentStore:
         )
 
     def term_ids(self, spark: SparkSession, terms: list[str]) -> dict[str, int]:
-        """Query-term lookup: a pushed-filter scan of the dictionary
+        """Query-term lookup: a driver dict probe when load_term_cache
+        was called, else a pushed-filter scan of the dictionary
         returning only the asked-for terms (missing = OOV)."""
         if not terms:
             return {}
+        if self._term_cache is not None:
+            c = self._term_cache
+            return {t: c[t] for t in set(terms) if t in c}
         rows = (
             self.dictionary(spark)
             .filter(F.col("term").isin(sorted(set(terms))))

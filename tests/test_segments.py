@@ -257,3 +257,27 @@ def test_bucket_of_docs_np_parity():
         )
         got = bucket_of_docs_np(docs, n_buckets)
         assert (got == want).all(), n_buckets
+
+
+def test_term_cache_matches_scan(built):
+    """load_term_cache turns query-term lookup into a driver dict probe:
+    lookups (incl. OOV) and full search results must be bit-identical to
+    the pushed-filter scan path, and the size gate must refuse oversized
+    vocabularies without installing a cache."""
+    spark, _idx, store, _oidx, _pages = built
+
+    fresh = open_segments(store.path)
+    probe = ["term00000", "term00001", "zzzznotaterm"]
+    want_ids = fresh.term_ids(spark, probe)
+    q = "term00000 term00001 term03000"
+    want = _collect(search_segments(spark, fresh, q, k=10))
+
+    gated = open_segments(store.path)
+    assert gated.load_term_cache(spark, max_terms=1) is False
+    assert gated._term_cache is None  # scan path untouched
+
+    cached = open_segments(store.path)
+    assert cached.load_term_cache(spark) is True
+    assert cached.term_ids(spark, probe) == want_ids
+    assert cached.term_ids(spark, []) == {}
+    assert _collect(search_segments(spark, cached, q, k=10)) == want
