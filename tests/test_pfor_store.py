@@ -137,3 +137,73 @@ def test_unknown_codec_fails_fast(two_stores, tmp_path):
         build_segments(
             spark, idx, str(tmp_path / "bad"), n_buckets=8, codec="zstd"
         )
+
+
+def test_mixed_codec_merge(two_stores, tmp_path):
+    """A merge may fold stores written by DIFFERENT codecs (e.g. a
+    varint-era store plus a pfor delta generation): decode dispatches
+    per input store, the output defaults to the FIRST store's codec,
+    and results equal a clean single-codec merge bit-for-bit."""
+    spark, _idx, sv, sp = two_stores
+    import shutil
+
+    from fornax_spark.fulltext.deletes import delete_docs
+    from fornax_spark.fulltext.merge import blocks_to_postings, merge_stores
+    from fornax_spark.fulltext.segments import open_segments
+
+    # disjoint halves: tombstone the complement in two copies (the doc
+    # set comes from a real decode pass — every live doc must land in
+    # exactly one half or the merge's disjointness check rightly raises)
+    all_docs = sorted(
+        r["doc_id"]
+        for r in blocks_to_postings(sv.blocks(spark), sv.dictionary(spark))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    half = set(all_docs[: len(all_docs) // 2])
+    va = open_segments(shutil.copytree(sv.path, str(tmp_path / "va")))
+    pb = open_segments(shutil.copytree(sp.path, str(tmp_path / "pb")))
+    doc_ids_a = [d for d in all_docs if d not in half]
+    doc_ids_b = [d for d in all_docs if d in half]
+    delete_docs(spark, va, doc_ids_a)  # varint store keeps `half`
+    delete_docs(spark, pb, doc_ids_b)  # pfor store keeps the rest
+
+    mixed = merge_stores(spark, [va, pb], str(tmp_path / "mixed"))
+    assert mixed.codec == "varint"  # first input's codec
+    clean = merge_stores(
+        spark,
+        [open_segments(shutil.copytree(sv.path, str(tmp_path / "v2")))],
+        str(tmp_path / "clean"),
+    )
+    a = _batch(spark, mixed)
+    b = _batch(spark, clean)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+
+    transcoded = merge_stores(
+        spark, [va, pb], str(tmp_path / "trans"), out_codec="pfor"
+    )
+    assert open_segments(transcoded.path).codec == "pfor"
+    c = _batch(spark, transcoded)
+    assert a["score"].tolist() == c["score"].tolist()
+
+
+def test_facade_add_docs_inherits_codec(two_stores, tmp_path, spark):
+    """CorpusHandle.add_docs on a pfor corpus writes its delta
+    generation AND the folded store in pfor (the live store's codec),
+    and the grown corpus still answers queries."""
+    from fornax_spark.api import Connection
+
+    _sp, _idx, _sv, _spstore = two_stores
+    conn = Connection(str(tmp_path / "reg"), spark)
+    c = conn.create_corpus("pcorp")
+    pages = pages_to_spark(spark, generate_pages(300, seed=51), partitions=4)
+    docs = pages.selectExpr("xxhash64(url) as doc_id", "text")
+    c.build(docs.limit(200), codec="pfor")
+    n0 = len(c)
+    c.add_docs(docs.subtract(docs.limit(200)))
+    assert open_segments(c.path).codec == "pfor"
+    assert len(c) == 300 and n0 == 200
+    assert c.search("term00001", k=5).count() > 0
+    c.delete()
