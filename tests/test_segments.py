@@ -281,3 +281,30 @@ def test_term_cache_matches_scan(built):
     assert cached.term_ids(spark, probe) == want_ids
     assert cached.term_ids(spark, []) == {}
     assert _collect(search_segments(spark, cached, q, k=10)) == want
+
+
+def test_huge_batch_broadcast_k_filter_matches_small_batches(built):
+    """Batches past 2000 queries switch from the literal-map k-filter to
+    a broadcast join (expression-size limit); the switch must be
+    invisible: one 2050-query call == the same queries split across two
+    sub-2000 calls, row for row."""
+    import pandas as pd
+
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    spark, _idx, store, _oidx, _pages = built
+    q1 = reference_queries()
+    reps = -(-2050 // len(q1))  # ceil to pass the 2000 threshold
+    big = pd.concat(
+        [q1.assign(query_id=q1["query_id"] + i * len(q1)) for i in range(reps)],
+        ignore_index=True,
+    ).head(2050)
+    assert len(big) > 2000
+    got = search_segments_batch(spark, store, big).toPandas()
+    lo = search_segments_batch(spark, store, big.head(1025)).toPandas()
+    hi = search_segments_batch(spark, store, big.tail(len(big) - 1025)).toPandas()
+    want = pd.concat([lo, hi], ignore_index=True)
+    assert got["query_id"].tolist() == want["query_id"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
