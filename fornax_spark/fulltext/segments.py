@@ -695,6 +695,7 @@ def build_segments(
     fail_after_groups: int | None = None,
     code_version: str = "fornax_spark-0.1",
     codec: str = "varint",
+    parquet_codec: str | None = None,
 ) -> SegmentStore:
     """Encode the index into a segment store, resumable per bucket group.
 
@@ -703,6 +704,15 @@ def build_segments(
     ledger stats so every decode path reads blobs with the codec that
     wrote them, and so a resume under a DIFFERENT codec wipes and
     rebuilds instead of mixing blob formats.
+
+    parquet_codec: file-level compression for the segment parquet
+    ("snappy"/"zstd"/"none"/...; None = Spark session default, snappy).
+    The posting blobs are already entropy-coded, so file compression is
+    double compression — spending write+read CPU to squeeze mostly the
+    metadata columns; BENCH.md carries the measured tradeoff. Purely a
+    file property (parquet files self-describe their codec), so resume
+    may mix codecs safely and it is recorded in the ledger for
+    information, not under the wipe-triggering stats.
 
     group_size: buckets per atomic write + ledger row. Default = ALL
     buckets in one Spark job — the group loop exists only as the resume
@@ -780,11 +790,10 @@ def build_segments(
             d = os.path.join(out_dir, f"bucket={b}")
             if os.path.exists(d):
                 shutil.rmtree(d)
-        (
-            enc.write.partitionBy("bucket")
-            .mode("append")
-            .parquet(out_dir)
-        )
+        w = enc.write.partitionBy("bucket").mode("append")
+        if parquet_codec is not None:
+            w = w.option("compression", parquet_codec)
+        w.parquet(out_dir)
         # ledger metrics from a column-pruned, join-free postings scan
         # (doc_id only) — NOT from `part`, which would replay the join.
         m = (
@@ -825,6 +834,7 @@ def build_segments(
             if f.endswith(".parquet")
         )
     ledger["bytes_compressed_total"] = total_bytes
+    ledger["parquet_codec"] = parquet_codec or "default"
     _save_ledger(path, ledger)
     dictionary.unpersist()
     df_bcast.unpersist()

@@ -308,3 +308,24 @@ def test_huge_batch_broadcast_k_filter_matches_small_batches(built):
     assert got["rank"].tolist() == want["rank"].tolist()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_parquet_codec_knob(built, tmp_path):
+    """build_segments(parquet_codec=...) threads through to the file
+    writer (ledger records it, files stay readable, results identical);
+    a FILE property only — never part of the wipe-triggering stats."""
+    import json as _json
+    import os as _os
+
+    spark, idx, store, _oidx, _pages = built
+    path = str(tmp_path / "zstd_store")
+    zs = build_segments(spark, idx, path, n_buckets=16, group_size=8,
+                        parquet_codec="zstd")
+    with open(_os.path.join(path, "ledger.json")) as f:
+        led = _json.load(f)
+    assert led["parquet_codec"] == "zstd"
+    assert "parquet_codec" not in led["stats"]
+    q = "term00000 term00001 term03000"
+    assert _collect(search_segments(spark, zs, q, k=10)) == _collect(
+        search_segments(spark, store, q, k=10)
+    )
