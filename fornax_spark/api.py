@@ -938,6 +938,7 @@ class CorpusHandle:
         text_col: str = "text",
         n_buckets: int = 32,
         codec: str = "varint",
+        parquet_codec: str | None = None,
     ) -> "CorpusHandle":
         """Encode `df` (doc_id, text) into this corpus's segment store.
         One build per corpus (the store layout is append-by-merge, not
@@ -959,7 +960,7 @@ class CorpusHandle:
         try:
             build_segments(
                 self.conn.spark, idx, self.path, n_buckets=n_buckets,
-                codec=codec,
+                codec=codec, parquet_codec=parquet_codec,
             )
         finally:
             idx.postings.unpersist()
