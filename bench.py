@@ -311,21 +311,36 @@ def main() -> None:
     import subprocess
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench")
-    probe = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "import sys; sys.path.insert(0, %r); import json; "
-            "from scaling import cpu_control; "
-            "print(json.dumps([cpu_control() for _ in range(3)]))" % bench_dir,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
-    samples = json.loads(probe.stdout.strip().splitlines()[-1])
-    out["host_control_post"] = round(min(samples, key=lambda c: abs(1 - c)), 3)
-    out["host_control_post_samples"] = [round(c, 3) for c in samples]
+    # The probe must NEVER sink the suite result that was already
+    # measured: any failure (timeout, crash, empty stdout) publishes
+    # host_control_post=None instead of raising after the fact.
+    try:
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, %r); import json; "
+                "from scaling import cpu_control; "
+                "print(json.dumps([cpu_control() for _ in range(3)]))"
+                % bench_dir,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if probe.returncode != 0 or not probe.stdout.strip():
+            raise RuntimeError(
+                f"control probe rc={probe.returncode} "
+                f"stderr={probe.stderr[-300:]!r}"
+            )
+        samples = json.loads(probe.stdout.strip().splitlines()[-1])
+        out["host_control_post"] = round(
+            min(samples, key=lambda c: abs(1 - c)), 3
+        )
+        out["host_control_post_samples"] = [round(c, 3) for c in samples]
+    except Exception as e:  # noqa: BLE001 — publish the suite regardless
+        out["host_control_post"] = None
+        out["host_control_post_error"] = str(e)[:300]
     print(json.dumps(out))
 
 

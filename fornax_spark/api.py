@@ -43,6 +43,7 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -938,7 +939,7 @@ class CorpusHandle:
         text_col: str = "text",
         n_buckets: int = 32,
         codec: str = "varint",
-        parquet_codec: str | None = None,
+        parquet_codec: str | None = "zstd",
     ) -> "CorpusHandle":
         """Encode `df` (doc_id, text) into this corpus's segment store.
         One build per corpus (the store layout is append-by-merge, not
@@ -947,7 +948,10 @@ class CorpusHandle:
 
         codec: posting-block codec ("varint" default, or "pfor" —
         fulltext/pfor.py); recorded in the store ledger, every later
-        verb (search, delete_docs, add_docs, compact) dispatches on it."""
+        verb (search, delete_docs, add_docs, compact) dispatches on it.
+
+        parquet_codec: segment-file compression; zstd default per the
+        measured tradeoff (build_segments docstring / BENCH.md)."""
         if self._built():
             raise ValueError(
                 f"corpus {self.name!r} is already built: delete() and "
@@ -1077,8 +1081,10 @@ class CorpusHandle:
                 table = json.load(f)["table"]
         # generation-suffixed sibling dir: the merge writes a complete
         # new store before the catalog repoint, so a crash at any step
-        # leaves a consistent registry (worst case: a leaked directory)
-        base = old_path.split("_g")[0]
+        # leaves a consistent registry (worst case: a leaked directory).
+        # Strip only a TRAILING _g<N> suffix — a '_g' anywhere else in
+        # the path (corpus named 'eng_grammar') is part of the name.
+        base = re.sub(r"_g\d+$", "", old_path)
         gen = 2
         while os.path.exists(f"{base}_g{gen}"):
             gen += 1

@@ -197,6 +197,10 @@ def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast,
     partitioning expression / numpy in the kernel, bucket_of_docs_np).
     The exchange — the encode path's measured scaling bottleneck —
     carries 20 B/row instead of the naive 44.
+
+    df_bcast=None switches to the past-the-broadcast-gate carry mode:
+    rows arrive with a fourth `df` int64 column (28 B/row) and the
+    kernel reads df from the rows instead of indexing the array.
     """
 
     def encode_stream(batches):
@@ -233,6 +237,9 @@ def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast,
         terms = pdf["term_id"].to_numpy(np.int64)
         docs = pdf["doc_id"].to_numpy(np.int64)
         tfdl = pdf["tfdl"].to_numpy(np.int64)
+        # carry-df fallback (vocabulary past the broadcast gate): df
+        # arrived as a shuffle column instead of the broadcast array
+        dfs = pdf["df"].to_numpy(np.int64) if df_bcast is None else None
         # rows arrive (bucket, term_id, doc_id)-sorted from the
         # repartitionByRange+sortWithinPartitions layout and the carry
         # logic preserves order — a pandas sort here re-paid ~60% of
@@ -254,9 +261,12 @@ def _encoder(n_docs: int, avgdl: float, block_size: int, df_bcast,
                 terms = terms[order]
                 docs = docs[order]
                 tfdl = tfdl[order]
+                if dfs is not None:
+                    dfs = dfs[order]
         tf = tfdl >> 32
         dl = tfdl & 0xFFFFFFFF
-        dfs = df_bcast.value[terms]
+        if dfs is None:
+            dfs = df_bcast.value[terms]
 
         # (bucket, term) group starts -> per-row offset within group ->
         # block starts every block_size rows, all vectorized
@@ -323,10 +333,17 @@ class SegmentStore:
         vocabulary belongs on executors, not the driver. Explicit
         opt-in; batch queries already amortize one lookup job over the
         whole batch and gain ~nothing."""
-        d = self.dictionary(spark)
-        if d.count() > max_terms:
+        # ONE dictionary scan: collect at most max_terms+1 rows and use
+        # the overflow row itself as the size gate (a separate count()
+        # would double the one-time load cost).
+        pdf = (
+            self.dictionary(spark)
+            .select("term", "term_id")
+            .limit(max_terms + 1)
+            .toPandas()
+        )
+        if len(pdf) > max_terms:
             return False
-        pdf = d.select("term", "term_id").toPandas()
         self._term_cache = dict(
             zip(pdf["term"], (int(x) for x in pdf["term_id"]))
         )
@@ -435,7 +452,18 @@ def as_bucketed_table(
     tb = table_buckets or store.n_buckets
     # free the catalog name and this store's own previous publish (the
     # location outlives the in-memory catalog across sessions, and
-    # saveAsTable can only overwrite tables the catalog knows)
+    # saveAsTable can only overwrite tables the catalog knows). DROP is
+    # metadata-only ONLY for EXTERNAL tables — refuse to clobber a
+    # user's MANAGED table, whose data files DROP would delete.
+    if (
+        spark.catalog.tableExists(table_name)
+        and spark.catalog.getTable(table_name).tableType != "EXTERNAL"
+    ):
+        raise ValueError(
+            f"catalog table {table_name!r} exists and is MANAGED "
+            "(dropping it would delete its data) — pass a different "
+            "table_name"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     loc = os.path.join(os.path.abspath(store.path), "bucketed_blocks")
     if os.path.isdir(loc):
@@ -560,8 +588,16 @@ def open_bucketed_table(
         # a DIFFERENT store's files (e.g. two registries published under
         # the same default name). Reusing it would silently serve the
         # other store's blocks under this store's stats — re-register at
-        # this manifest's location (DROP on an external table is
-        # metadata-only; the other store re-registers the same way).
+        # this manifest's location. DROP is metadata-only ONLY for
+        # EXTERNAL tables; dropping a colliding MANAGED table would
+        # delete a user's data files, so refuse and make them pick a
+        # different name instead.
+        if spark.catalog.getTable(table).tableType != "EXTERNAL":
+            raise ValueError(
+                f"catalog table {table!r} exists, is not this store's "
+                "published snapshot, and is MANAGED (dropping it would "
+                "delete its data) — pass a different table_name"
+            )
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     if not spark.catalog.tableExists(table):
         spark.sql(
@@ -601,11 +637,26 @@ def _save_ledger(path: str, ledger: dict) -> None:
     os.replace(tmp, lp)  # atomic done-marker
 
 
+#: vocabulary size above which the build stops BROADCASTING the
+#: dictionary (both the 8 B/term dense df array and the term->term_id
+#: join side) and falls back to a shuffle join that carries df through
+#: the one existing exchange. 64M terms = 512 MB of dense array — about
+#: the most a driver/executor heap should spend on a lookup table.
+#: Noisy-web-text vocabularies reach 10^8-10^9 terms; past the gate the
+#: vocabulary lives on executors only. Crossover: the fallback re-keys
+#: the postings by term (an extra shuffle of term strings) and widens
+#: the layout exchange by 8 B/row, so the broadcast form is strictly
+#: better whenever it fits — the gate exists for when it can't.
+VOCAB_BROADCAST_MAX_TERMS = 64_000_000
+
+
 def df_lookup_broadcast(dictionary: DataFrame):
     """term_id-indexed df array as a Spark broadcast. term_ids are dense
     ranks 0..V-1, so the lookup is a plain numpy index — 8 B/term, the
     same vocabulary-sized payload the pre-exchange broadcast join
-    already ships to every executor."""
+    already ships to every executor. Callers gate on vocabulary size
+    (VOCAB_BROADCAST_MAX_TERMS) BEFORE calling — this function itself
+    materializes the whole dictionary on the driver."""
     spark = dictionary.sparkSession
     pdf = dictionary.select("term_id", "df").toPandas()
     size = int(pdf["term_id"].max()) + 1 if len(pdf) else 0
@@ -624,6 +675,7 @@ def encoded_blocks(
     parallelism: int,
     df_bcast=None,
     codec_name: str = "varint",
+    carry_df: bool = False,
 ) -> DataFrame:
     """The encode plan for one bucket group: postings -> posting blocks.
 
@@ -651,16 +703,32 @@ def encoded_blocks(
         concurrency; range (not hash) partitioning also keeps each
         task's rows inside 1-2 bucket dirs, so the partitionBy("bucket")
         write emits O(parallelism + n_buckets) files.
+
+    carry_df=True is the PAST-THE-GATE fallback (vocabulary >
+    VOCAB_BROADCAST_MAX_TERMS, see build_segments): no driver-side
+    dictionary materialization and no broadcast at all — the dictionary
+    join becomes a regular shuffle join (Catalyst/AQE picks the
+    strategy for two big sides) and per-term df rides THROUGH the
+    layout exchange as an extra int64 column, re-read by the kernel
+    from the rows. Costs one extra shuffle (postings re-keyed by term
+    string) plus 8 B/row on the layout exchange; buys a build whose
+    every vocabulary-sized structure stays distributed. Bit-identical
+    output (tests/test_segments.py).
     """
-    if df_bcast is None:
+    if carry_df:
+        df_bcast = None
+    elif df_bcast is None:
         df_bcast = df_lookup_broadcast(dictionary)
     bexpr = bucket_col(F.col("doc_id"), n_buckets)
+    dim_cols = ["term", "term_id"] + (["df"] if carry_df else [])
+    dim = dictionary.select(*dim_cols)
     p = idx.postings.join(
-        F.broadcast(dictionary.select("term", "term_id")), "term"
+        dim if carry_df else F.broadcast(dim), "term"
     ).select(
         "term_id",
         "doc_id",
         F.shiftleft(F.col("tf"), 32).bitwiseOR(F.col("dl")).alias("tfdl"),
+        *(["df"] if carry_df else []),
     )
     if len(buckets) < n_buckets:
         # partial-group (resume) builds filter pre-shuffle; the common
@@ -695,7 +763,8 @@ def build_segments(
     fail_after_groups: int | None = None,
     code_version: str = "fornax_spark-0.1",
     codec: str = "varint",
-    parquet_codec: str | None = None,
+    parquet_codec: str | None = "zstd",
+    vocab_broadcast_max_terms: int = VOCAB_BROADCAST_MAX_TERMS,
 ) -> SegmentStore:
     """Encode the index into a segment store, resumable per bucket group.
 
@@ -707,12 +776,21 @@ def build_segments(
 
     parquet_codec: file-level compression for the segment parquet
     ("snappy"/"zstd"/"none"/...; None = Spark session default, snappy).
-    The posting blobs are already entropy-coded, so file compression is
-    double compression — spending write+read CPU to squeeze mostly the
-    metadata columns; BENCH.md carries the measured tradeoff. Purely a
-    file property (parquet files self-describe their codec), so resume
-    may mix codecs safely and it is recorded in the ledger for
-    information, not under the wipe-triggering stats.
+    Default zstd per the measured tradeoff (BENCH.md "Parquet file
+    compression": 0.82x snappy's bytes with no build/query cost — the
+    blobs are already entropy-coded, so the file codec mostly squeezes
+    the metadata columns). Purely a file property (parquet files
+    self-describe their codec), so resume may mix codecs safely and it
+    is recorded in the ledger for information, not under the
+    wipe-triggering stats.
+
+    vocab_broadcast_max_terms: size gate on the two vocabulary-sized
+    broadcast structures (the dense term_id->df array and the
+    dictionary join side). Vocabularies past the gate build in CARRY
+    mode — shuffle dictionary join, df carried through the layout
+    exchange — so nothing vocabulary-sized ever lands on the driver or
+    in a broadcast (encoded_blocks docstring has the cost model).
+    Bit-identical output either way; recorded in the ledger.
 
     group_size: buckets per atomic write + ledger row. Default = ALL
     buckets in one Spark job — the group loop exists only as the resume
@@ -761,8 +839,16 @@ def build_segments(
     t_dict = time.time()
     dictionary = build_dictionary(idx.term_stats).persist()
     dictionary.write.mode("overwrite").parquet(os.path.join(path, "dictionary"))
-    df_bcast = df_lookup_broadcast(dictionary)
+    # vocabulary-broadcast gate: count is a cheap scan of the persisted
+    # (and just-written) dictionary. Past the gate, NOTHING
+    # vocabulary-sized is materialized on the driver or broadcast —
+    # the build runs in carry-df mode (encoded_blocks docstring).
+    vocab_terms = dictionary.count()
+    carry_df = vocab_terms > vocab_broadcast_max_terms
+    df_bcast = None if carry_df else df_lookup_broadcast(dictionary)
     ledger["dict_secs"] = round(time.time() - t_dict, 3)
+    ledger["vocab_terms"] = int(vocab_terms)
+    ledger["df_attach"] = "carry" if carry_df else "broadcast"
 
     groups = [
         list(range(g, min(g + group_size, n_buckets)))
@@ -776,13 +862,14 @@ def build_segments(
             continue
         if fail_after_groups is not None and done_groups >= fail_after_groups:
             dictionary.unpersist()
-            df_bcast.unpersist()
+            if df_bcast is not None:
+                df_bcast.unpersist()
             _save_ledger(path, ledger)
             raise RuntimeError(f"injected failure before group {key}")
         t0 = time.time()
         enc = encoded_blocks(
             idx, dictionary, buckets, n_buckets, block_size, parallelism,
-            df_bcast=df_bcast, codec_name=codec,
+            df_bcast=df_bcast, codec_name=codec, carry_df=carry_df,
         )
         out_dir = os.path.join(path, "segments")
         # idempotent per-group write: overwrite only this group's bucket dirs
@@ -837,7 +924,8 @@ def build_segments(
     ledger["parquet_codec"] = parquet_codec or "default"
     _save_ledger(path, ledger)
     dictionary.unpersist()
-    df_bcast.unpersist()
+    if df_bcast is not None:
+        df_bcast.unpersist()
     return SegmentStore(
         path=path,
         n_docs=idx.stats.n_docs,

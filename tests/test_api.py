@@ -508,6 +508,32 @@ def test_corpus_handle_unbuilt_and_collision(spark, conn, tmp_path):
     spark.sql("DROP TABLE IF EXISTS collide_tbl")
 
 
+def test_bucketed_collision_refuses_managed_table(spark, conn, tmp_path):
+    """The collision handler's re-register DROP is metadata-only ONLY
+    for EXTERNAL tables — colliding with a user's MANAGED table must
+    raise instead of deleting their data files (ADVICE r6)."""
+    from fornax_spark.fulltext.segments import open_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS managed_collide")
+    spark.sql("CREATE TABLE managed_collide (x INT) USING parquet")
+    spark.range(3).selectExpr("cast(id as int) x").write.mode(
+        "append"
+    ).saveAsTable("managed_collide")
+    d = spark.createDataFrame(
+        [(i, f"kiwi w{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    c = conn.create_corpus("mg").build(d, n_buckets=4)
+    try:
+        with pytest.raises(ValueError, match="MANAGED"):
+            c.publish_bucketed("managed_collide")
+        # the managed table and its data survived the refusal
+        assert spark.table("managed_collide").count() == 3
+    finally:
+        c.delete()
+        spark.sql("DROP TABLE IF EXISTS managed_collide")
+
+
 def test_corpus_facade_stale_snapshot_falls_back(spark, conn):
     """VERDICT r5 item 3, facade side: when the store's segments change
     after publish (ledger rewritten by a rebuild/merge in place), the

@@ -127,6 +127,46 @@ def test_resume_equals_clean(built, tmp_path):
     assert ab == bb
 
 
+def test_carry_df_build_bit_identical(built, tmp_path):
+    """Past the vocabulary-broadcast gate the build switches to carry
+    mode: shuffle dictionary join, df carried through the layout
+    exchange, nothing vocabulary-sized on the driver or broadcast.
+    Forcing the gate to 0 must produce a bit-identical store (blobs
+    included) and record the mode in the ledger."""
+    import json
+    import os
+
+    spark, idx, _store, oidx, _pages = built
+    bpath = str(tmp_path / "bcast")
+    cpath = str(tmp_path / "carry")
+    build_segments(spark, idx, bpath, n_buckets=8)
+    cstore = build_segments(
+        spark, idx, cpath, n_buckets=8, vocab_broadcast_max_terms=0
+    )
+    with open(os.path.join(bpath, "ledger.json")) as f:
+        assert json.load(f)["df_attach"] == "broadcast"
+    with open(os.path.join(cpath, "ledger.json")) as f:
+        assert json.load(f)["df_attach"] == "carry"
+
+    a = open_segments(bpath).blocks(spark)
+    b = open_segments(cpath).blocks(spark)
+    key = ["bucket", "term_id", "block_id"]
+    full = key + ["n", "df", "first_doc", "last_doc", "block_max",
+                  "doc_blob", "tf_blob", "dl_blob"]
+    ab = {tuple(r[:3]): tuple(r[3:8]) + tuple(bytes(x) for x in r[8:])
+          for r in a.select(full).collect()}
+    bb = {tuple(r[:3]): tuple(r[3:8]) + tuple(bytes(x) for x in r[8:])
+          for r in b.select(full).collect()}
+    assert ab == bb
+    # and the carry-built store answers queries identically to the oracle
+    for qt in ["term00000 term00050", "term00003"]:
+        want = [
+            (i + 1, d, s)
+            for i, (d, s) in enumerate(oracle.query_topk(oidx, qt, 10))
+        ]
+        assert _collect(search_segments(spark, cstore, qt, k=10)) == want, qt
+
+
 def test_bucket_count_invariance(built, tmp_path):
     spark, idx, _store, oidx, _pages = built
     s4 = build_segments(spark, idx, str(tmp_path / "b4"), n_buckets=4)
