@@ -257,6 +257,55 @@ def q_ft_bm25_topk_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FT_LIFECYCLE_CACHE: dict[str, object] = {}
+
+
+def q_ft_bm25_topk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query and oracle as ft_bm25_topk, answered from a corpus
+    that went through the FULL facade lifecycle (VERDICT r6 item 5):
+    build(90% of docs ∪ 50 junk docs stuffed with the query terms) ->
+    add_docs(the held-out 10% as an LSM delta merge) -> delete_docs(the
+    junk; tombstones + df deltas) -> compact() (fold into a new
+    generation) -> publish_bucketed -> search. Net content == the
+    documents table exactly, so the standard BM25 DuckDB oracle applies
+    verbatim — one green row gates delta merge, tombstone stats shift,
+    physical compaction, and the bucketed republish end to end. The
+    junk docs are not decorative: they contain the query terms, so a
+    leaked tombstone or a stale df would change the top-10."""
+    import re as _re
+    import tempfile
+
+    from fornax_spark.api import Connection
+
+    if sf_dir not in _FT_LIFECYCLE_CACHE:
+        import os as _os
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        held = docs.filter(F.col("doc_id") % 10 == 3)
+        base = docs.filter(F.col("doc_id") % 10 != 3)
+        junk_ids = [10_000_000_000 + i for i in range(50)]
+        junk = spark.createDataFrame(
+            [(i, "spark join window spark window join") for i in junk_ids],
+            "doc_id long, text string",
+        )
+        root = tempfile.mkdtemp(
+            prefix="fornax_entry_lifecycle_",
+            dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+        )
+        c = Connection(root, spark).create_corpus("lifecycle")
+        c.build(base.unionAll(junk), n_buckets=32)
+        c.add_docs(held)
+        c.delete_docs(junk_ids)
+        c.compact()
+        suffix = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+        c.publish_bucketed(f"entry_lifecycle_store_{suffix}")
+        _FT_LIFECYCLE_CACHE[sf_dir] = c
+    out = _FT_LIFECYCLE_CACHE[sf_dir].search(FT_QUERY, k=FT_K)
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ft_index(spark, sf_dir).postings.select("term", "doc_id", "tf")
 
@@ -728,6 +777,66 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_corpus_with_planted_query_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """embeddings (vec_id != 0) ∪ 20 deterministic near-copies of the
+    QUERY vector (vec_id 0): copy j = qv + (j/100) * roll(qv, j), cosine
+    ~0.97-0.999 vs the query. The raw fixture's max cosine to the query
+    is ~0.6, so the exact top-10 is entirely planted points — a tight
+    ball around the query direction that a coarse quantizer provably
+    localizes (the geometry IVF is built for; random vectors have no
+    cluster structure for nprobe to exploit). The SAME construction
+    runs in the DuckDB oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qv")
+    )
+    planted = q.select(
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("j"), "qv"
+    ).select(
+        (F.col("j") + 200000).cast("long").alias("vec_id"),
+        F.expr(
+            "transform(qv, (x, i) -> "
+            "x + (j / 100d) * element_at(qv, ((i + j) % size(qv)) + 1))"
+        ).alias("embedding"),
+    )
+    return base.unionAll(planted)
+
+
+_IVF_PRUNED_INDEX_CACHE: dict[str, object] = {}
+
+
+def q_ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at PRUNED probe (VERDICT r6 item 4 — the ann_lsh_verified
+    playbook applied to the one remaining exact-by-full-scan entry):
+    nprobe=2 of 16 clusters — candidates from 1/8th of the corpus ∧
+    exact cosine re-rank. On the planted-neighbor corpus the exact
+    top-10 sits in a tight ball around the query, so the 2 nearest
+    clusters provably contain it (centroids and assignments are
+    deterministic: content-keyed training sample, seeded k-means) and
+    pruned == brute force — recall 1.0 pinned in pytest
+    (tests/test_operators.py) at sf0.001 AND the driver's sf0.01, which
+    licenses the brute-force DuckDB oracle."""
+    from fornax_spark.operators.similarity import build_ivf_index, ivf_search
+
+    if sf_dir not in _IVF_PRUNED_INDEX_CACHE:
+        corpus = _emb_corpus_with_planted_query_neighbors(spark, sf_dir)
+        _IVF_PRUNED_INDEX_CACHE[sf_dir] = build_ivf_index(
+            corpus, dim=64, n_clusters=16
+        )
+    return ivf_search(
+        _IVF_PRUNED_INDEX_CACHE[sf_dir], _query_vec(spark, sf_dir),
+        k=10, nprobe=2,
+    )
+
+
 def _emb_corpus_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ deterministic near-duplicates: every 5th vector gets
     a perturbed copy (v + 0.3 * roll(v, 1), cosine ~0.95-0.97 vs its
@@ -856,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_segments": q_ft_bm25_topk_segments,
         "ft_bm25_topk_bucketed": q_ft_bm25_topk_bucketed,
         "ft_bm25_topk_pfor": q_ft_bm25_topk_pfor,
+        "ft_bm25_topk_lifecycle": q_ft_bm25_topk_lifecycle,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -888,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_verified_topk": q_ann_lsh_verified_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_pruned_topk": q_ann_ivf_pruned_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
         "json_meta_extract": q_json_meta_extract,
@@ -902,6 +1013,10 @@ def oracle_sql() -> dict[str, str]:
     sqls["ft_bm25_topk_pfor"] = BM25_SQL
     # bit-identical to the segment path by the bucketed-store plan test
     sqls["ft_bm25_topk_bucketed"] = BM25_SQL
+    # full facade lifecycle (build -> add_docs -> delete_docs -> compact
+    # -> publish_bucketed): net content == the documents table, so the
+    # standard oracle gates the LSM/tombstone/compaction path
+    sqls["ft_bm25_topk_lifecycle"] = BM25_SQL
 
     sqls["ft_postings"] = f"""
         SELECT term, doc_id, count(*)::BIGINT AS tf
@@ -1255,6 +1370,30 @@ def oracle_sql() -> dict[str, str]:
     # multiprobe; recall 1.0 pinned in pytest on this corpus family) ==
     # exact brute force — same oracle as cosine_topk
     sqls["ann_lsh_verified_topk"] = sqls["ann_cosine_topk"]
+
+    # pruned-probe IVF on the planted-query-neighbor corpus: brute-force
+    # cosine over the SAME corpus (base ∪ 20 rolled near-copies of the
+    # query; DuckDB lists are 1-based, Spark's transform index 0-based —
+    # both roll by j). Recall 1.0 at nprobe=2 pinned in pytest.
+    sqls["ann_ivf_pruned_topk"] = """
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), planted AS (
+          SELECT (j + 200000)::BIGINT AS vec_id,
+                 [qv[i] + (j / 100.0) * qv[((i - 1 + j) % len(qv)) + 1]
+                  for i in range(1, len(qv) + 1)] AS v
+          FROM q, generate_series(1, 20) AS t(j)
+        ), corpus AS (
+          SELECT vec_id::BIGINT AS vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id <> 0
+          UNION ALL SELECT * FROM planted
+        )
+        SELECT vec_id AS id,
+               round(list_cosine_similarity(v, q.qv), 6) AS cosine
+        FROM corpus, q
+        ORDER BY list_cosine_similarity(v, q.qv) DESC, vec_id ASC
+        LIMIT 10
+    """
 
     sqls["emb_similar_pairs"] = """
         WITH e AS (

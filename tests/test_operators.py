@@ -590,3 +590,31 @@ def test_ann_lsh_verified_topk_equals_exact(spark):
         ]
         assert got == want and len(got) == 10, sf_dir
         entry_mod._ANN_VERIFIED_INDEX_CACHE.pop(sf_dir).unpersist()
+
+
+def test_ann_ivf_pruned_topk_equals_exact(spark):
+    """VERDICT r6 item 4: the pruned-probe IVF entry (nprobe=2 of 16
+    clusters on the planted-query-neighbor corpus) must equal exact
+    cosine top-k over the SAME corpus ROW FOR ROW at sf0.001 and the
+    driver's sf0.01 — recall 1.0 is what licenses the brute-force
+    DuckDB oracle. Centroids/assignments are deterministic (content-
+    keyed training sample, seeded k-means), so this is a fixed property
+    of the corpus, not probabilistic."""
+    import __spark_entry__ as entry_mod
+    from fornax_spark.operators.similarity import cosine_topk
+
+    qs = entry_mod.queries()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        corpus = entry_mod._emb_corpus_with_planted_query_neighbors(
+            spark, sf_dir
+        )
+        qv = entry_mod._query_vec(spark, sf_dir)
+        want = [tuple(r) for r in cosine_topk(corpus, qv, k=10).collect()]
+        got = [
+            tuple(r) for r in qs["ann_ivf_pruned_topk"](spark, sf_dir).collect()
+        ]
+        assert got == want and len(got) == 10, sf_dir
+        # the exact top-10 must be planted points — otherwise the corpus
+        # isn't testing what IVF pruning is for
+        assert all(i > 200000 for i, _c in want), sf_dir
+        entry_mod._IVF_PRUNED_INDEX_CACHE.pop(sf_dir).unpersist()
