@@ -419,6 +419,13 @@ def search_segments(
     topk = per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     from pyspark.sql import Window
 
+    # UNPARTITIONED window — intentional and safe ONLY because the
+    # input is the k-row result of the limit(k) above (k <= a few
+    # hundred): a single-partition WindowExec over k rows is free. Do
+    # NOT copy this pattern onto unbounded data — an unpartitioned
+    # Window moves the whole dataset to one partition. The k-bound is
+    # asserted so a future edit can't silently widen the input.
+    assert k <= 10_000, f"rank window is single-partition; k={k} too large"
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"

@@ -261,3 +261,85 @@ def test_streamed_then_published_parity(spark, tmp_path):
     bidx.postings.unpersist()
     spark.sql("DROP TABLE IF EXISTS stream_pub_tbl")
     spark.sql("DROP TABLE IF EXISTS batch_pub_tbl")
+
+
+def test_stream_after_publish_staleness_and_refresh(spark, tmp_path):
+    """VERDICT r6 item 6 — the inverse composition of
+    test_streamed_then_published_parity: a delta streams in AFTER the
+    bucketed publish and the store is rebuilt in place (what a naive
+    streaming job pointed at the corpus path does, bypassing the facade
+    verbs). The frozen snapshot must NOT be silently served: the
+    fingerprint guard raises, the facade falls back to the live
+    directory store (new docs visible), and publish_bucketed refreshes
+    the table form to the same new answer."""
+    import glob
+
+    import pytest
+
+    from fornax_spark.api import Connection
+    from fornax_spark.fulltext.build import index_from_postings
+    from fornax_spark.fulltext.corpus import generate_pages, pages_to_spark
+    from fornax_spark.fulltext.segments import (
+        StaleBucketedTableError,
+        build_segments,
+        open_bucketed_table,
+    )
+    from fornax_spark.streaming import incremental_index_stream
+
+    pages = generate_pages(200, seed=47)
+    full = pages_to_spark(spark, pages, partitions=4)
+    pdir, ddir, ckpt = (str(tmp_path / d) for d in ("pages", "deltas", "ckpt"))
+
+    pages_to_spark(spark, pages[:120], partitions=2).write.mode(
+        "append"
+    ).parquet(pdir)
+    incremental_index_stream(
+        spark, pdir, ddir, ckpt, full.schema
+    ).awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    def docs_of(pages_df):
+        # same stable id scheme as the page pipeline (xxhash64(url))
+        return pages_df.select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+
+    conn = Connection(str(tmp_path / "ns"), spark)
+    c = conn.create_corpus("stale_stream")
+    c.build(docs_of(pages_to_spark(spark, pages[:120], partitions=2)),
+            n_buckets=8)
+    c.publish_bucketed("stream_stale_tbl")
+    qt = pages.iloc[120]["text"].split()[0]  # term the late delta adds docs for
+    before = {r["doc_id"] for r in c.search(qt, k=50).collect()}
+
+    # late delta arrives and the store is rebuilt IN PLACE at c.path
+    # from the streamed postings (both generations) — the facade wasn't
+    # consulted, so the published snapshot is now stale
+    pages_to_spark(spark, pages[120:], partitions=2).write.mode(
+        "append"
+    ).parquet(pdir)
+    incremental_index_stream(
+        spark, pdir, ddir, ckpt, full.schema
+    ).awaitTermination(120)
+    all_postings = spark.read.parquet(
+        *sorted(glob.glob(f"{ddir}/batch=*"))
+    )
+    gidx = index_from_postings(all_postings)
+    build_segments(spark, gidx, c.path, n_buckets=8)
+
+    with pytest.raises(StaleBucketedTableError, match="fingerprint"):
+        open_bucketed_table(spark, c.path)
+    # facade: falls back to the live directory store — new docs visible
+    after = {r["doc_id"] for r in c.search(qt, k=50).collect()}
+    assert after - before, "late-delta docs must be visible, not frozen"
+    # re-publish refreshes the table form to the same new answer
+    c.publish_bucketed("stream_stale_tbl")
+    republished = {r["doc_id"] for r in c.search(qt, k=50).collect()}
+    assert republished == after
+    # and the table form is genuinely being used again (no raise)
+    open_bucketed_table(spark, c.path)
+
+    gidx.postings.unpersist()
+    c.delete()
+    spark.sql("DROP TABLE IF EXISTS stream_stale_tbl")
