@@ -34,11 +34,22 @@ REPO = os.path.dirname(BENCH_DIR)
 sys.path.insert(0, REPO)
 sys.path.insert(0, BENCH_DIR)
 
-# 64g, NOT more: the postings cache is columnar-compressed (~15 GB at
-# 10M docs) and everything above real need is RAM the tmpfs working set
-# (pages + stores + shuffle files, ~25 GB peak) can't use — an 88g heap
-# run OOM-killed the JVM at the publish rewrite on this 125 GB box.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+# Memory budget (125 GB box, learned the hard way — an 88g heap run
+# was OOM-killed at the publish rewrite and a 64g run at the third
+# consecutive segment build, both with JVM anon-rss ~100 GB):
+#   * heap 48g — enough for the biggest single phase (the 64-bucket
+#     encode sort over 845M postings) once the postings HEAP CACHE is
+#     replaced by a parquet spill (below); everything above real need
+#     is RAM the tmpfs working set (pages + stores + shuffle files,
+#     ~30 GB peak) can't use.
+#   * MaxDirectMemorySize=8g — the silent killer: it DEFAULTS to Xmx,
+#     so a 64g heap licenses another 64g of netty/Arrow direct
+#     buffers on top. 8g is ~8x the worst concurrent Arrow batch set
+#     (32 tasks x ~10 MB) observed here.
+#   * MALLOC_ARENA_MAX=2 — glibc per-thread arenas otherwise retain
+#     native (zstd/lz4/snappy) scratch across 32+ JVM threads.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+os.environ.setdefault("MALLOC_ARENA_MAX", "2")
 
 
 def _gated_control(gate: float = 0.95, max_tries: int = 8):
@@ -86,6 +97,9 @@ def main() -> None:
             # groups; the 8 MB test-scale split default would make
             # ~2000 tiny partitions of the pages scan
             "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+            # see the memory-budget note at the top of this file
+            "spark.driver.extraJavaOptions": "-XX:MaxDirectMemorySize=8g",
+            "spark.ui.showConsoleProgress": "false",
         },
     )
 
@@ -134,11 +148,14 @@ def main() -> None:
             spark, args.docs, partitions=gen_parts
         ).write.parquet(pages_path)
     )
-    pages_bytes = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _d, fs in os.walk(pages_path)
-        for f in fs
-    )
+    def tree_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+
+    pages_bytes = tree_bytes(pages_path)
     out["gen_secs"] = round(gen_secs, 1)
     out["pages_bytes"] = pages_bytes
     print(f"# generated {args.docs} docs, {pages_bytes/1e9:.1f} GB "
@@ -168,6 +185,30 @@ def main() -> None:
     )
     print(f"# index: {build_secs:.0f}s, {args.docs/build_secs:.0f} docs/s, "
           f"{n_postings} postings", file=sys.stderr)
+
+    # Spill postings to parquet and DROP the ~15 GB heap cache: every
+    # downstream phase (three segment builds + publish + queries) reads
+    # the spill instead, so the heap stays execution-sized for the
+    # encode sorts. This is also the natural cluster shape — between
+    # pipeline stages the postings table IS a parquet/Iceberg table,
+    # not a cross-job executor cache.
+    from fornax_spark.fulltext.build import InvertedIndex, build_term_stats
+
+    postings_path = os.path.join(shm, "postings")
+    spill_secs, *_sp, _ = timed(
+        lambda: idx.postings.write.parquet(postings_path)
+    )
+    idx.postings.unpersist()
+    postings_df = spark.read.parquet(postings_path)
+    idx = InvertedIndex(
+        postings=postings_df,
+        term_stats=build_term_stats(postings_df).persist(),
+        stats=idx.stats,
+    )
+    out["postings_spill_secs"] = round(spill_secs, 1)
+    out["postings_parquet_bytes"] = tree_bytes(postings_path)
+    # pages are never read again past this point — 9 GB of tmpfs back
+    shutil.rmtree(pages_path, ignore_errors=True)
 
     # --- segment store, varint (the default production form) ----------
     seg_v = os.path.join(shm, "seg_varint")
@@ -250,10 +291,10 @@ def main() -> None:
     print(f"# carry-mode: {segc_secs:.0f}s "
           f"({segc_secs/segv_secs:.2f}x broadcast mode)", file=sys.stderr)
 
-    # builds done: free the postings cache BEFORE the publish rewrite —
-    # the publish/query phases read only store files, and heap the cache
-    # no longer needs is headroom the bucketed write's shuffle wants
-    idx.postings.unpersist()
+    # builds done: the postings spill and its term_stats cache are no
+    # longer needed — the publish/query phases read only store files
+    idx.term_stats.unpersist()
+    shutil.rmtree(postings_path, ignore_errors=True)
 
     # --- bucketed publish (the 100 TB query form) ----------------------
     pub_secs, *_rest, bstore = timed(
