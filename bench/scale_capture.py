@@ -71,6 +71,8 @@ PHASES = [
     "seg_pfor",
     "seg_carry",
     "publish_query",
+    "qps_scale_8",
+    "qps_scale_32",
     "control_post",
 ]
 
@@ -389,14 +391,69 @@ def phase_publish_query(args, state):
     return out
 
 
+def _qps_at(args, state, cores: int) -> dict:
+    """North-rule scaling evidence at THIS capture's scale: the same 1k
+    query batch against the same published bucketed store at two
+    parallelism levels (the sandbox stand-in for two cluster sizes).
+    Each level is its own fresh JVM + Python worker fleet, so neither
+    level inherits the other's caches. Task/CPU totals from the stage
+    API are published so wall-clock can be decomposed against
+    executor-CPU exactly as in bench/scaling*.json."""
+    from fornax_spark.fulltext.segments import open_bucketed_table
+    from fornax_spark.fulltext.wand import search_segments_batch
+
+    spark = phase_session(cores)
+    bstore = open_bucketed_table(
+        spark, os.path.join(args.scratch, "seg_varint"), "scale_capture_tbl"
+    )
+    _q1, q1k = query_batch_1k()
+    lat, tasks, cpus = [], [], []
+    for _ in range(3):
+        secs, task, cpu, _gc, _n = timed(
+            spark, lambda: search_segments_batch(spark, bstore, q1k).count()
+        )
+        lat.append(secs)
+        tasks.append(task)
+        cpus.append(cpu)
+    spark.sql("DROP TABLE IF EXISTS scale_capture_tbl")
+    spark.stop()
+    best = min(range(3), key=lambda i: lat[i])
+    return {
+        f"qps_1k_c{cores}": round(len(q1k) / lat[best], 1),
+        f"qps_batch_secs_c{cores}": round(lat[best], 2),
+        f"qps_batch_task_secs_c{cores}": tasks[best],
+        f"qps_batch_cpu_secs_c{cores}": cpus[best],
+        f"qps_batch_all_secs_c{cores}": [round(x, 2) for x in lat],
+    }
+
+
+def phase_qps_scale_8(args, state):
+    return _qps_at(args, state, 8)
+
+
+def phase_qps_scale_32(args, state):
+    return _qps_at(args, state, 32)
+
+
 def phase_control_post(args, state):
     # this phase is ALREADY a fresh interpreter (subprocess-per-phase),
-    # so sample directly: best-closest-to-1 of 3
+    # so sample directly — but let the previous phase's teardown
+    # (executor threads, python workers, page-cache writeback) drain
+    # first, and retry the window if it still reads unhealthy: a
+    # depressed post control would invalidate the whole capture.
     from scaling import cpu_control
 
+    time.sleep(15)
     samples = [round(cpu_control(), 3) for _ in range(3)]
+    best = min(samples, key=lambda c: abs(1 - c))
+    rounds = 1
+    while not (0.9 <= best <= 1.1) and rounds < 4:
+        time.sleep(30)
+        samples += [round(cpu_control(), 3) for _ in range(3)]
+        best = min(samples, key=lambda c: abs(1 - c))
+        rounds += 1
     return {
-        "host_control_post": min(samples, key=lambda c: abs(1 - c)),
+        "host_control_post": best,
         "host_control_post_samples": samples,
     }
 
@@ -462,6 +519,18 @@ def run_orchestrator(args) -> None:
     for k, v in state.items():
         if k not in ("phases_done", "n_docs_requested"):
             out[k] = v
+    if state.get("qps_1k_c8") and state.get("qps_1k_c32"):
+        # two-parallelism scaling at this capture's scale (the prompt's
+        # local[8]/local[32] pair). NOTE: this box's own no-Spark CPU
+        # control reads ~0.76 at 8->32 (BENCH.md / BASELINE.md: per-
+        # thread CPU inflation past ~16 busy threads), so wall-clock
+        # efficiency here is host-capped; the published task/CPU totals
+        # support the same decomposition as bench/scaling_2_8.json.
+        r = state["qps_1k_c32"] / state["qps_1k_c8"]
+        out["qps_scaling_8_32"] = {
+            "throughput_ratio": round(r, 3),
+            "efficiency_vs_4x": round(r / 4, 3),
+        }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     shutil.rmtree(args.scratch, ignore_errors=True)
