@@ -48,6 +48,11 @@ BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(BENCH_DIR)
 sys.path.insert(0, REPO)
 sys.path.insert(0, BENCH_DIR)
+# Spark's Python WORKERS inherit PYTHONPATH/CWD, not the driver's
+# sys.path — export the repo root so the capture is launchable from
+# any directory (a bench/-cwd launch once failed every worker with
+# ModuleNotFoundError: fornax_spark).
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 # Memory budget (125 GB box, learned the hard way — see module
 # docstring):
