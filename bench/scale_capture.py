@@ -413,7 +413,8 @@ def _qps_at(args, state, cores: int) -> dict:
     )
     _q1, q1k = query_batch_1k()
     lat, tasks, cpus = [], [], []
-    for _ in range(3):
+    reps = getattr(args, "reps", 3) or 3
+    for _ in range(reps):
         secs, task, cpu, _gc, _n = timed(
             spark, lambda: search_segments_batch(spark, bstore, q1k).count()
         )
@@ -422,7 +423,7 @@ def _qps_at(args, state, cores: int) -> dict:
         cpus.append(cpu)
     spark.sql("DROP TABLE IF EXISTS scale_capture_tbl")
     spark.stop()
-    best = min(range(3), key=lambda i: lat[i])
+    best = min(range(reps), key=lambda i: lat[i])
     return {
         f"qps_1k_c{cores}": round(len(q1k) / lat[best], 1),
         f"qps_batch_secs_c{cores}": round(lat[best], 2),
@@ -430,6 +431,10 @@ def _qps_at(args, state, cores: int) -> dict:
         f"qps_batch_cpu_secs_c{cores}": cpus[best],
         f"qps_batch_all_secs_c{cores}": [round(x, 2) for x in lat],
     }
+
+
+def phase_qps_scale_2(args, state):
+    return _qps_at(args, state, 2)
 
 
 def phase_qps_scale_8(args, state):
@@ -440,12 +445,12 @@ def phase_qps_scale_32(args, state):
     return _qps_at(args, state, 32)
 
 
-def phase_control_post(args, state):
-    # this phase is ALREADY a fresh interpreter (subprocess-per-phase),
-    # so sample directly — but let the previous phase's teardown
-    # (executor threads, python workers, page-cache writeback) drain
-    # first, and retry the window if it still reads unhealthy: a
-    # depressed post control would invalidate the whole capture.
+def _settled_control():
+    # sample from a fresh interpreter (subprocess-per-phase) — but let
+    # the previous phase's teardown (executor threads, python workers,
+    # page-cache writeback) drain first, and retry the window if it
+    # still reads unhealthy: a depressed control would invalidate the
+    # adjacent timed phases.
     from scaling import cpu_control
 
     time.sleep(15)
@@ -457,6 +462,18 @@ def phase_control_post(args, state):
         samples += [round(cpu_control(), 3) for _ in range(3)]
         best = min(samples, key=lambda c: abs(1 - c))
         rounds += 1
+    return best, samples
+
+
+def phase_control_mid(args, state):
+    # bracketing control between the two pair levels, so EACH level
+    # has an adjacent host reading (pair mode only)
+    best, samples = _settled_control()
+    return {"host_control_mid": best, "host_control_mid_samples": samples}
+
+
+def phase_control_post(args, state):
+    best, samples = _settled_control()
     return {
         "host_control_post": best,
         "host_control_post_samples": samples,
@@ -479,17 +496,15 @@ def _load_state(scratch: str) -> dict:
     return {}
 
 
-def run_orchestrator(args) -> None:
-    os.makedirs(args.scratch, exist_ok=True)
-    state = _load_state(args.scratch)
-    # a state file from a different corpus size must not be resumed
-    if state and state.get("n_docs_requested") not in (None, args.docs):
-        state = {}
-        for d in ("pages", "postings", "seg_varint", "seg_pfor", "seg_carry"):
-            shutil.rmtree(os.path.join(args.scratch, d), ignore_errors=True)
-    state["n_docs_requested"] = args.docs
+def _save_state(scratch: str, state: dict) -> None:
+    tmp = _state_path(scratch) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+    os.replace(tmp, _state_path(scratch))
 
-    for phase in PHASES:
+
+def _run_phases(args, state, phases):
+    for phase in phases:
         if state.get("phases_done", {}).get(phase):
             print(f"# phase {phase}: already done, skipping", file=sys.stderr)
             continue
@@ -501,6 +516,7 @@ def run_orchestrator(args) -> None:
                  "--phase", phase,
                  "--docs", str(args.docs),
                  "--cores", str(args.cores),
+                 "--reps", str(args.reps),
                  "--scratch", args.scratch],
             )
             if proc.returncode == 0:
@@ -512,6 +528,25 @@ def run_orchestrator(args) -> None:
                   file=sys.stderr)
         else:
             raise RuntimeError(f"phase {phase} failed twice — aborting")
+    return state
+
+
+def _resumable_state(args) -> dict:
+    os.makedirs(args.scratch, exist_ok=True)
+    state = _load_state(args.scratch)
+    # a state file from a different corpus size must not be resumed
+    if state and state.get("n_docs_requested") not in (None, args.docs):
+        state = {}
+        for d in ("pages", "postings", "seg_varint", "seg_pfor", "seg_carry"):
+            shutil.rmtree(os.path.join(args.scratch, d), ignore_errors=True)
+    state["n_docs_requested"] = args.docs
+    _save_state(args.scratch, state)
+    return state
+
+
+def run_orchestrator(args) -> None:
+    state = _resumable_state(args)
+    state = _run_phases(args, state, PHASES)
 
     out = {
         "metric": "scale_capture",
@@ -542,6 +577,63 @@ def run_orchestrator(args) -> None:
     print(json.dumps(out))
 
 
+# the north-rule MANDATED pair (local[2] -> local[8], both endpoints in
+# the host's certified flat thread region — BASELINE.md) at this
+# capture's corpus scale. Build phases are shared with the full
+# capture; only the varint store is built (the pair measures query
+# scaling, not codecs), and BOTH levels run the same number of timed
+# reps from fresh JVMs with a bracketing host control before, between
+# and after the levels.
+PAIR_PHASES = [
+    "control_pre",
+    "gen",
+    "build",
+    "seg_varint",
+    "publish_query",
+    "qps_scale_2",
+    "control_mid",
+    "qps_scale_8",
+    "control_post",
+]
+
+
+def run_pair(args) -> None:
+    state = _resumable_state(args)
+    state = _run_phases(args, state, PAIR_PHASES)
+
+    out = {
+        "metric": "qps_scaling_2_8_10m",
+        "unit": "qps",
+        "n_docs": args.docs,
+        "levels": [2, 8],
+        "reps_per_level": args.reps,
+        "protocol": "fresh JVM + Python worker fleet per level; same "
+                    "published bucketed store; equal timed reps per "
+                    "level, best-of; host control before/between/after",
+    }
+    keep = (
+        "host_control", "host_control_attempts",
+        "host_control_mid", "host_control_mid_samples",
+        "host_control_post", "host_control_post_samples",
+        "vocab_terms", "avgdl", "postings", "build_secs",
+        "segment_build_secs", "publish_secs",
+        "query_p50_sec", "query_p95_sec", "qps_1k_bucketed",
+    )
+    for k, v in state.items():
+        if k.startswith("qps_batch") or k.startswith("qps_1k_c") or k in keep:
+            out[k] = v
+    if state.get("qps_1k_c2") and state.get("qps_1k_c8"):
+        r = state["qps_1k_c8"] / state["qps_1k_c2"]
+        out["qps_scaling_2_8"] = {
+            "throughput_ratio": round(r, 3),
+            "efficiency_vs_4x": round(r / 4, 3),
+        }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    shutil.rmtree(args.scratch, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def run_phase(args) -> None:
     state = _load_state(args.scratch)
     fn = globals()[f"phase_{args.phase}"]
@@ -551,10 +643,7 @@ def run_phase(args) -> None:
     state = _load_state(args.scratch)
     state.update(result)
     state.setdefault("phases_done", {})[args.phase] = True
-    tmp = _state_path(args.scratch) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f, indent=1, sort_keys=True)
-    os.replace(tmp, _state_path(args.scratch))
+    _save_state(args.scratch, state)
     print(f"# {args.phase}: {json.dumps(result)}", file=sys.stderr)
 
 
@@ -563,11 +652,25 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=10_000_000)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--scratch", default="/tmp/scale_capture")
-    ap.add_argument("--out", default=os.path.join(BENCH_DIR, "scale_10m.json"))
-    ap.add_argument("--phase", choices=PHASES, default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed reps per qps_scale_* phase")
+    ap.add_argument("--pair", action="store_true",
+                    help="run the mandated 2->8 query-scaling pair "
+                         "instead of the full capture")
+    ap.add_argument("--phase", choices=sorted({*PHASES, "qps_scale_2",
+                                               "control_mid"}),
+                    default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = os.path.join(
+            BENCH_DIR,
+            "qps_scaling_2_8_10m.json" if args.pair else "scale_10m.json",
+        )
     if args.phase:
         run_phase(args)
+    elif args.pair:
+        run_pair(args)
     else:
         run_orchestrator(args)
 
