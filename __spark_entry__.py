@@ -128,6 +128,12 @@ def reset_ft_caches() -> None:
         except Exception:
             pass
     _FT_INDEX_CACHE.clear()
+    for p in _FT_POS_CACHE.values():
+        try:
+            p.unpersist()
+        except Exception:
+            pass
+    _FT_POS_CACHE.clear()
     for store in _FT_STORE_CACHE.values():
         _shutil.rmtree(store.path, ignore_errors=True)
     _FT_STORE_CACHE.clear()
@@ -319,6 +325,51 @@ def q_ft_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs_from_table(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
         "doc_id", F.col("dl").cast("int").alias("dl")
+    )
+
+
+_FT_POS_CACHE: dict[str, DataFrame] = {}
+
+
+def _ft_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one positional-postings build per corpus per process, shared by
+    # the phrase + proximity entries (same pattern as _ft_index)
+    if sf_dir not in _FT_POS_CACHE:
+        from fornax_spark.fulltext.positional import build_positional_postings
+
+        p = build_positional_postings(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        ).persist()
+        _FT_POS_CACHE[sf_dir] = p
+    return _FT_POS_CACHE[sf_dir]
+
+
+FT_PHRASE = "table hash"  # exact-phrase query (positional index)
+FT_PROX_TERMS = ("spark", "join")  # ordered proximity, gap <= FT_PROX_GAP
+FT_PROX_GAP = 4
+
+
+def q_ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional index: top-k docs by
+    (phrase occurrence count DESC, doc_id ASC). positional.py."""
+    from fornax_spark.fulltext.positional import phrase_topk
+
+    return phrase_topk(
+        spark, _ft_positional(spark, sf_dir), FT_PHRASE, k=FT_K, max_gap=1
+    )
+
+
+def q_ft_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity ('spark' before 'join' within FT_PROX_GAP
+    tokens), top-k by (distinct end-position count DESC, doc_id ASC)."""
+    from fornax_spark.fulltext.positional import phrase_topk
+
+    return phrase_topk(
+        spark,
+        _ft_positional(spark, sf_dir),
+        " ".join(FT_PROX_TERMS),
+        k=FT_K,
+        max_gap=FT_PROX_GAP,
     )
 
 
@@ -966,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_bucketed": q_ft_bm25_topk_bucketed,
         "ft_bm25_topk_pfor": q_ft_bm25_topk_pfor,
         "ft_bm25_topk_lifecycle": q_ft_bm25_topk_lifecycle,
+        "ft_phrase_topk": q_ft_phrase_topk,
+        "ft_proximity_topk": q_ft_proximity_topk,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1033,6 +1086,52 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["ft_doc_stats"] = f"""
         SELECT doc_id, len({TOKENS_SQL})::INT AS dl FROM documents
+    """
+
+    # positional-index oracles: positions via generate_subscripts (1-based,
+    # mirroring term_positions_udf), adjacency via pos self-joins, tf =
+    # count of DISTINCT phrase END positions (positional.py contract)
+    sqls["ft_phrase_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos
+          FROM d
+        ), p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+           p2 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+        hits AS (
+          SELECT p1.doc_id, count(DISTINCT p2.pos)::BIGINT AS phrase_tf
+          FROM p1 JOIN p2
+            ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+          GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT)
+                 AS rank,
+               doc_id, phrase_tf
+        FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {FT_K}
+    """
+
+    sqls["ft_proximity_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos
+          FROM d
+        ), p1 AS (SELECT doc_id, pos FROM tok WHERE term = '{FT_PROX_TERMS[0]}'),
+           p2 AS (SELECT doc_id, pos FROM tok WHERE term = '{FT_PROX_TERMS[1]}'),
+        hits AS (
+          SELECT p1.doc_id, count(DISTINCT p2.pos)::BIGINT AS phrase_tf
+          FROM p1 JOIN p2
+            ON p1.doc_id = p2.doc_id
+           AND p2.pos - p1.pos BETWEEN 1 AND {FT_PROX_GAP}
+          GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id ASC) AS INT)
+                 AS rank,
+               doc_id, phrase_tf
+        FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {FT_K}
     """
 
     sqls["q1_pricing_summary"] = """

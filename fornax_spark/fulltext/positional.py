@@ -1,0 +1,196 @@
+"""Positional postings + phrase / ordered-proximity search.
+
+Beyond-reference fulltext capability (the reference engine's index is
+tf-only — /root/reference/fornax/api.py:681-751 builds matches(v, u,
+weight) with no position payload): a positional inverted index and the
+two classic queries it unlocks, exact phrase and ordered proximity
+("a" before "b" within g tokens).
+
+Spark-first design, mirroring build.py's no-shuffle trick:
+
+    pages/docs -> term_positions_udf (Arrow, one pass, emits per-doc
+                  [{term, positions}] with positions ASC)
+               -> explode               (narrow map — NO groupBy shuffle:
+                                         positions are a per-document
+                                         property, computed where the
+                                         document already is)
+               -> postings(term, doc_id, positions, tf, dl)
+
+Query = filter the positional postings to the phrase's terms (pushed
+to the parquet scan), ONE shuffle of only the candidate docs
+(groupBy doc_id — near-unique key, Zipf-proof), then a JVM-side
+higher-order-function fold over the term sequence:
+
+    acc_0 = positions(t_0)
+    acc_i = [ p in positions(t_i) | exists q in acc_{i-1}:
+                                      1 <= p - q <= max_gap ]
+    phrase_tf = |acc_{k-1}|          (distinct phrase END positions)
+
+max_gap=1 is exact phrase (consecutive tokens); max_gap=g is ordered
+proximity. The fold runs entirely in Tungsten (F.aggregate/F.filter/
+F.exists on int arrays) — no Python in the query hot path, and the
+per-doc arrays are token positions of ONE document, so the work is
+bounded by document length, never corpus size.
+
+Scale: at 10^12 docs the positional index is ~2-4x the tf-only index
+bytes (delta-coded positions dominate); the query plan shuffles only
+docs containing ALL phrase terms — for a selective phrase that is
+orders of magnitude below corpus size, and the groupBy key (doc_id)
+is unique so AQE coalescing keeps reduce tasks balanced.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .textproc import tokenize
+
+_POS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField(
+                "positions", T.ArrayType(T.IntegerType(), False), False
+            ),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_POS_TYPE)
+def term_positions_udf(text: pd.Series) -> pd.Series:
+    """Tokenize AND collect 1-based token positions per term, one pass.
+
+    Positions are 1-based to mirror SQL generate_subscripts(toks, 1),
+    which is what lets a DuckDB oracle verify the whole positional
+    pipeline (driver entry ft_phrase_topk)."""
+
+    def positions(s: str):
+        acc: dict[str, list[int]] = {}
+        for i, t in enumerate(tokenize(s), start=1):
+            acc.setdefault(t, []).append(i)
+        return [
+            {"term": t, "positions": ps} for t, ps in sorted(acc.items())
+        ]
+
+    return text.map(positions)
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """docs(doc_id, text) -> postings(term, doc_id, positions, tf, dl).
+
+    Narrow map + explode, no shuffle (see module docstring). dl is
+    denormalized per posting exactly as in build.py so BM25-style
+    scoring over the positional index needs no doc-length join.
+    """
+    with_pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        term_positions_udf(F.col(text_col)).alias("tpos"),
+    ).withColumn(
+        "dl",
+        F.aggregate(
+            F.col("tpos"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.size(x["positions"]),
+        ),
+    )
+    return with_pos.select(
+        "doc_id", "dl", F.explode("tpos").alias("tp")
+    ).select(
+        F.col("tp.term").alias("term"),
+        "doc_id",
+        F.col("tp.positions").alias("positions"),
+        F.size("tp.positions").cast("long").alias("tf"),
+        "dl",
+    )
+
+
+def _fold_phrase(pmap: Column, terms: list[str], max_gap: int) -> Column:
+    """Driver-side construction of the adjacency fold expression.
+
+    Each step is a JVM higher-order filter; for max_gap=1 the predicate
+    degenerates to p - q == 1 (exact adjacency). Position arrays are
+    per-term-per-doc, already distinct and ascending, so |acc| counts
+    distinct phrase end positions.
+    """
+    acc = F.element_at(pmap, terms[0])
+    for t in terms[1:]:
+        prev = acc
+        acc = F.filter(
+            F.element_at(pmap, t),
+            lambda p: F.exists(
+                prev,
+                lambda q: (p - q >= F.lit(1)) & (p - q <= F.lit(max_gap)),
+            ),
+        )
+    return acc
+
+
+def phrase_match(
+    postings: DataFrame, terms: list[str], max_gap: int = 1
+) -> DataFrame:
+    """Positional postings -> (doc_id, phrase_tf, dl) for docs where the
+    term sequence occurs in order with consecutive gaps in [1, max_gap].
+
+    max_gap=1: exact phrase. max_gap=g>1: ordered proximity. phrase_tf
+    counts distinct end positions of the match (deterministic and
+    SQL-mirrorable: the DuckDB oracle chains pos-joins and counts
+    DISTINCT final positions).
+    """
+    if not terms:
+        raise ValueError("phrase_match: empty term list")
+    if max_gap < 1:
+        raise ValueError(f"phrase_match: max_gap must be >= 1, got {max_gap}")
+    distinct = sorted(set(terms))
+    cand = (
+        postings.filter(F.col("term").isin(distinct))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap"),
+            F.first("dl").alias("dl"),
+        )
+        .filter(F.size(F.map_keys(F.col("pmap"))) == len(distinct))
+    )
+    return (
+        cand.withColumn(
+            "phrase_tf",
+            F.size(_fold_phrase(F.col("pmap"), terms, max_gap)).cast("long"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "phrase_tf", "dl")
+    )
+
+
+def phrase_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    phrase: str,
+    k: int = 10,
+    max_gap: int = 1,
+) -> DataFrame:
+    """Phrase query -> (rank, doc_id, phrase_tf), top-k by
+    (phrase_tf DESC, doc_id ASC) — the same deterministic-rank contract
+    as the BM25 entries (north rule: rank-identical results)."""
+    terms = tokenize(phrase)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, phrase_tf long")
+    hits = phrase_match(postings, terms, max_gap=max_gap)
+    topk = hits.orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    # UNPARTITIONED window — safe ONLY on the k-row limit() output above
+    # (same contract as wand.py's rank window; see the comment there).
+    assert k <= 10_000, f"rank window is single-partition; k={k} too large"
+    w = Window.orderBy(F.col("phrase_tf").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "doc_id", "phrase_tf")

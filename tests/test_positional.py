@@ -1,0 +1,140 @@
+"""Positional postings + phrase/proximity search vs an independent
+pure-Python reference (shared tokenizer only — the matching logic is
+re-derived here from the definition, not imported)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from fornax_spark.fulltext.positional import (
+    build_positional_postings,
+    phrase_match,
+    phrase_topk,
+)
+from fornax_spark.fulltext.textproc import tokenize
+
+VOCAB = ["spark", "join", "window", "table", "hash", "scan", "agg", "row"]
+
+
+def _mk_docs(n: int, seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 40))))
+        for i in range(n)
+    ]
+
+
+def _ref_phrase(docs, terms, max_gap):
+    """Independent oracle: literal transcription of the definition."""
+    out = {}
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        pos = {
+            t: [i for i, x in enumerate(toks, 1) if x == t]
+            for t in set(terms)
+        }
+        acc = pos.get(terms[0], [])
+        for t in terms[1:]:
+            prev = acc
+            acc = [
+                p for p in pos.get(t, []) if any(1 <= p - q <= max_gap for q in prev)
+            ]
+        if acc:
+            out[doc_id] = len(acc)
+    return out
+
+
+def _postings(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return build_positional_postings(df)
+
+
+@pytest.mark.parametrize(
+    "terms,max_gap",
+    [
+        (["spark", "join"], 1),
+        (["spark", "join"], 3),
+        (["table", "hash", "scan"], 1),
+        (["table", "hash", "scan"], 4),
+        (["spark"], 1),
+        (["spark", "spark"], 1),
+        (["join", "spark", "join"], 2),
+    ],
+)
+def test_phrase_match_equals_reference(spark, terms, max_gap):
+    docs = _mk_docs(400, seed=7)
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_match(_postings(spark, docs), terms, max_gap).collect()
+    }
+    assert got == _ref_phrase(docs, terms, max_gap)
+
+
+def test_single_term_phrase_tf_equals_tf(spark):
+    docs = _mk_docs(200, seed=11)
+    p = _postings(spark, docs)
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in phrase_match(p, ["window"], 1).collect()
+    }
+    want = {
+        r["doc_id"]: r["tf"]
+        for r in p.filter(F.col("term") == "window").collect()
+    }
+    assert got == want
+
+
+def test_positional_postings_agree_with_tf_index(spark):
+    """tf and dl derived from positions must equal build.py's tf-only
+    pipeline on the same docs (two independent one-pass tokenizer UDFs)."""
+    from fornax_spark.fulltext.build import build_postings, docs_with_tokens
+
+    docs = _mk_docs(150, seed=3)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # build.py hashes url -> doc_id, so doc ids differ; compare the
+    # id-independent per-term aggregates (sum tf, df) exactly.
+    a = (
+        build_positional_postings(df)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("stf"), F.count("*").alias("df"))
+    )
+    b = (
+        build_postings(
+            docs_with_tokens(
+                df.select(F.col("doc_id").cast("string").alias("url"), "text"),
+                from_html=False,
+            )
+        )
+        .groupBy("term")
+        .agg(F.sum("tf").alias("stf"), F.count("*").alias("df"))
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_phrase_topk_rank_contract(spark):
+    docs = _mk_docs(400, seed=7)
+    out = phrase_topk(spark, _postings(spark, docs), "spark join", k=5).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    keys = [(-r["phrase_tf"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys)
+    ref = _ref_phrase(docs, ["spark", "join"], 1)
+    want = sorted(((-tf, d) for d, tf in ref.items()))[: len(out)]
+    assert keys == want
+
+
+def test_phrase_errors(spark):
+    docs = _mk_docs(10, seed=1)
+    p = _postings(spark, docs)
+    with pytest.raises(ValueError):
+        phrase_match(p, [], 1)
+    with pytest.raises(ValueError):
+        phrase_match(p, ["spark"], 0)
+    assert phrase_topk(spark, p, "", k=3).count() == 0
+
+
+def test_phrase_absent_term_empty(spark):
+    docs = _mk_docs(50, seed=2)
+    assert phrase_match(_postings(spark, docs), ["spark", "zzz"], 3).count() == 0
