@@ -359,6 +359,25 @@ def q_ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-as-virtual-term BM25 ranking of the exact-phrase hits
+    (tf = phrase occurrences, df = docs containing the phrase); corpus
+    stats shared with the tf-only index."""
+    from fornax_spark.fulltext.positional import phrase_bm25_topk
+
+    stats = _ft_index(spark, sf_dir).stats
+    out = phrase_bm25_topk(
+        spark,
+        _ft_positional(spark, sf_dir),
+        FT_PHRASE,
+        n_docs=stats.n_docs,
+        avgdl=stats.avgdl,
+        k=FT_K,
+        max_gap=1,
+    )
+    return out.select("rank", "doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
 def q_ft_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered proximity ('spark' before 'join' within FT_PROX_GAP
     tokens), top-k by (distinct end-position count DESC, doc_id ASC)."""
@@ -1018,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_pfor": q_ft_bm25_topk_pfor,
         "ft_bm25_topk_lifecycle": q_ft_bm25_topk_lifecycle,
         "ft_phrase_topk": q_ft_phrase_topk,
+        "ft_phrase_bm25_topk": q_ft_phrase_bm25_topk,
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
@@ -1110,6 +1130,42 @@ def oracle_sql() -> dict[str, str]:
                  AS rank,
                doc_id, phrase_tf
         FROM hits ORDER BY phrase_tf DESC, doc_id ASC LIMIT {FT_K}
+    """
+
+    sqls["ft_phrase_bm25_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos
+          FROM d
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+           p2 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+        hits AS (
+          SELECT p1.doc_id, count(DISTINCT p2.pos)::DOUBLE AS phrase_tf
+          FROM p1 JOIN p2
+            ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+          GROUP BY 1
+        ), dfp AS (SELECT count(*)::DOUBLE AS dfp FROM hits),
+        scores AS (
+          SELECT h.doc_id,
+                 ln(1 + (s.n - dfp.dfp + 0.5) / (dfp.dfp + 0.5))
+                 * h.phrase_tf * (1.2 + 1)
+                 / (h.phrase_tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   AS score
+          FROM hits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfp
+        )
+        SELECT rank, doc_id, round(score, 4) AS score FROM (
+          SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+                   AS rank, doc_id, score
+          FROM scores ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
     """
 
     sqls["ft_proximity_topk"] = f"""

@@ -168,6 +168,59 @@ def phrase_match(
     )
 
 
+def phrase_bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    phrase: str,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    max_gap: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Phrase-as-virtual-term BM25: score the phrase like a single term
+    whose tf is phrase_tf and whose df is the number of docs containing
+    the phrase -> (rank, doc_id, score).
+
+    df_phrase is computed inside the plan (single-row agg broadcast back
+    over the hits — no extra driver action, and the hits frame is the
+    post-phrase-filter candidate set, already tiny relative to corpus).
+    """
+    terms = tokenize(phrase)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    hits = phrase_match(postings, terms, max_gap=max_gap)
+    dfp = F.broadcast(hits.agg(F.count(F.lit(1)).alias("dfp")))
+    scored = hits.crossJoin(dfp).select(
+        "doc_id",
+        (
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("dfp") + F.lit(0.5))
+                / (F.col("dfp") + F.lit(0.5))
+            )
+            * F.col("phrase_tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("phrase_tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+            )
+        ).alias("score"),
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    from pyspark.sql import Window
+
+    # UNPARTITIONED window — safe ONLY on the k-row limit() output (see
+    # phrase_topk / wand.py).
+    assert k <= 10_000, f"rank window is single-partition; k={k} too large"
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "doc_id", "score")
+
+
 def phrase_topk(
     spark: SparkSession,
     postings: DataFrame,

@@ -125,6 +125,36 @@ def test_phrase_topk_rank_contract(spark):
     assert keys == want
 
 
+def test_phrase_bm25_topk_equals_reference(spark):
+    import math
+
+    from fornax_spark.fulltext.positional import phrase_bm25_topk
+
+    docs = _mk_docs(400, seed=7)
+    dls = {d: len(tokenize(t)) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(dls.values()) / n
+    ref = _ref_phrase(docs, ["spark", "join"], 1)
+    dfp = len(ref)
+    k1, b = 1.2, 0.75
+
+    def score(d, tf):
+        idf = math.log(1 + (n - dfp + 0.5) / (dfp + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+
+    want = sorted(
+        ((d, score(d, tf)) for d, tf in ref.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = phrase_bm25_topk(
+        spark, _postings(spark, docs), "spark join", n_docs=n, avgdl=avgdl, k=10
+    ).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
 def test_phrase_errors(spark):
     docs = _mk_docs(10, seed=1)
     p = _postings(spark, docs)
