@@ -106,6 +106,9 @@ def _cleanup_store_dirs() -> None:
     for store in _FT_PSTORE_CACHE.values():
         _shutil.rmtree(store.path, ignore_errors=True)
     _FT_PSTORE_CACHE.clear()
+    for store in _FT_POS_STORE_CACHE.values():
+        _shutil.rmtree(store.path, ignore_errors=True)
+    _FT_POS_STORE_CACHE.clear()
 
 
 import atexit as _atexit  # noqa: E402
@@ -140,6 +143,9 @@ def reset_ft_caches() -> None:
     for store in _FT_PSTORE_CACHE.values():
         _shutil.rmtree(store.path, ignore_errors=True)
     _FT_PSTORE_CACHE.clear()
+    for store in _FT_POS_STORE_CACHE.values():
+        _shutil.rmtree(store.path, ignore_errors=True)
+    _FT_POS_STORE_CACHE.clear()
     # bucketed handles point at the directory stores deleted above;
     # the table itself is re-droppable by the next as_bucketed_table
     _FT_BSTORE_CACHE.clear()
@@ -356,6 +362,33 @@ def q_ft_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return phrase_topk(
         spark, _ft_positional(spark, sf_dir), FT_PHRASE, k=FT_K, max_gap=1
+    )
+
+
+_FT_POS_STORE_CACHE: dict[str, object] = {}
+
+
+def q_ft_phrase_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query as ft_phrase_topk, answered from the DURABLE
+    positional store (term-range-partitioned, term-sorted parquet with
+    pushed-down term filters) instead of the in-memory postings — the
+    shared oracle gates the store layout end to end."""
+    import os as _os
+    import tempfile
+
+    from fornax_spark.fulltext.positional import write_positional_store
+
+    if sf_dir not in _FT_POS_STORE_CACHE:
+        _FT_POS_STORE_CACHE[sf_dir] = write_positional_store(
+            spark,
+            _t(spark, sf_dir, "documents"),
+            tempfile.mkdtemp(
+                prefix="fornax_entry_pos_",
+                dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+            ),
+        )
+    return _FT_POS_STORE_CACHE[sf_dir].phrase_topk(
+        spark, FT_PHRASE, k=FT_K, max_gap=1
     )
 
 
@@ -1038,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_lifecycle": q_ft_bm25_topk_lifecycle,
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_bm25_topk": q_ft_phrase_bm25_topk,
+        "ft_phrase_topk_store": q_ft_phrase_topk_store,
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
@@ -1167,6 +1201,8 @@ def oracle_sql() -> dict[str, str]:
           FROM scores ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
         ) ORDER BY rank
     """
+
+    sqls["ft_phrase_topk_store"] = sqls["ft_phrase_topk"]
 
     sqls["ft_proximity_topk"] = f"""
         WITH d AS (

@@ -168,6 +168,114 @@ def phrase_match(
     )
 
 
+class PositionalStore:
+    """Durable positional index: the positional postings written as
+    term-range-partitioned, (term, doc_id)-sorted parquet.
+
+    Spark-first storage choice: positions are int arrays, and Parquet's
+    own encodings (delta/RLE + zstd) compress them; the layout work —
+    what actually decides query cost — is (a) range partitioning by
+    (term, doc_id) so a Zipf head term spreads over several files
+    instead of hot-spotting one, and (b) within-partition sort by term
+    so every row group's min/max term stats are tight and a phrase's
+    `term IN (...)` pushed filter prunes to the handful of row groups
+    holding those terms. No custom codec to maintain, and the store is
+    readable by any parquet reader.
+    """
+
+    FORMAT = 1
+
+    def __init__(self, path: str, n_docs: int, avgdl: float):
+        self.path = path
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/postings")
+
+    def phrase_topk(
+        self, spark: SparkSession, phrase: str, k: int = 10, max_gap: int = 1
+    ) -> DataFrame:
+        return phrase_topk(
+            spark, self.postings(spark), phrase, k=k, max_gap=max_gap
+        )
+
+    def phrase_bm25_topk(
+        self, spark: SparkSession, phrase: str, k: int = 10, max_gap: int = 1
+    ) -> DataFrame:
+        return phrase_bm25_topk(
+            spark,
+            self.postings(spark),
+            phrase,
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            k=k,
+            max_gap=max_gap,
+        )
+
+
+def write_positional_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> PositionalStore:
+    """Build positional postings from docs and persist them as a
+    PositionalStore at `path` (see class docstring for the layout)."""
+    import json
+    import os
+
+    postings = build_positional_postings(docs, id_col=id_col, text_col=text_col)
+    if n_partitions is None:
+        n_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    (
+        postings.repartitionByRange(n_partitions, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    n_docs = docs.count()
+    # avgdl from the postings themselves (dl is denormalized per row):
+    # sum over distinct docs / n_docs — zero-token docs have no postings
+    # rows and contribute dl=0, matching build.corpus_stats
+    dl_row = (
+        spark.read.parquet(f"{path}/postings")
+        .select("doc_id", "dl")
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.sum("dl").alias("total"))
+        .collect()[0]
+    )
+    avgdl = (float(dl_row["total"] or 0) / n_docs) if n_docs else 0.0
+    ledger = {
+        "format": PositionalStore.FORMAT,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_partitions": n_partitions,
+    }
+    with open(os.path.join(path, "ledger.json"), "w") as f:
+        json.dump(ledger, f)
+    return PositionalStore(path, n_docs, avgdl)
+
+
+def open_positional_store(path: str) -> PositionalStore:
+    import json
+    import os
+
+    with open(os.path.join(path, "ledger.json")) as f:
+        ledger = json.load(f)
+    if ledger.get("format") != PositionalStore.FORMAT:
+        raise ValueError(
+            f"positional store at {path}: format {ledger.get('format')} "
+            f"!= expected {PositionalStore.FORMAT}"
+        )
+    return PositionalStore(path, int(ledger["n_docs"]), float(ledger["avgdl"]))
+
+
 def phrase_bm25_topk(
     spark: SparkSession,
     postings: DataFrame,

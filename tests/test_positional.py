@@ -168,3 +168,64 @@ def test_phrase_errors(spark):
 def test_phrase_absent_term_empty(spark):
     docs = _mk_docs(50, seed=2)
     assert phrase_match(_postings(spark, docs), ["spark", "zzz"], 3).count() == 0
+
+
+def test_positional_store_roundtrip(spark, tmp_path):
+    from fornax_spark.fulltext.positional import (
+        open_positional_store,
+        write_positional_store,
+    )
+
+    docs = _mk_docs(300, seed=13)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    store = write_positional_store(spark, df, str(tmp_path / "pos"))
+    opened = open_positional_store(str(tmp_path / "pos"))
+    assert (opened.n_docs, opened.avgdl) == (store.n_docs, store.avgdl)
+
+    # store-served phrase results == in-memory DataFrame path, both kinds
+    mem = build_positional_postings(df)
+    for phrase, gap in (("table hash", 1), ("spark join", 4)):
+        a = opened.phrase_topk(spark, phrase, k=10, max_gap=gap).collect()
+        b = phrase_topk(spark, mem, phrase, k=10, max_gap=gap).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    s = opened.phrase_bm25_topk(spark, "table hash", k=10).collect()
+    from fornax_spark.fulltext.positional import phrase_bm25_topk
+
+    t = phrase_bm25_topk(
+        spark, mem, "table hash", n_docs=store.n_docs, avgdl=store.avgdl, k=10
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in s] == [
+        (r["rank"], r["doc_id"]) for r in t
+    ]
+    for x, y in zip(s, t):
+        assert abs(x["score"] - y["score"]) < 1e-12
+
+    # the phrase's term filter reaches the parquet scan (row-group
+    # pruning is what makes the store cheap at scale)
+    plan = (
+        opened.postings(spark)
+        .filter(F.col("term").isin(["table", "hash"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_positional_store_format_guard(spark, tmp_path):
+    import json
+
+    from fornax_spark.fulltext.positional import (
+        open_positional_store,
+        write_positional_store,
+    )
+
+    docs = _mk_docs(20, seed=5)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    write_positional_store(spark, df, str(tmp_path / "pos2"))
+    ledger_path = tmp_path / "pos2" / "ledger.json"
+    ledger = json.loads(ledger_path.read_text())
+    ledger["format"] = 999
+    ledger_path.write_text(json.dumps(ledger))
+    with pytest.raises(ValueError, match="format"):
+        open_positional_store(str(tmp_path / "pos2"))
