@@ -168,6 +168,101 @@ def phrase_match(
     )
 
 
+def phrase_match_batch(
+    spark: SparkSession,
+    postings: DataFrame,
+    phrases: list[str],
+    max_gap: int = 1,
+) -> DataFrame:
+    """ALL phrases in ONE plan -> (query_id, doc_id, phrase_tf).
+
+    The serving-scale form of phrase_match: a 1000-phrase batch is one
+    job, not 1000. The adjacency fold here is DATA-DRIVEN — the term
+    sequence is a column, so one F.aggregate over it replaces the
+    per-phrase Python loop that builds expressions in phrase_match:
+
+        postings ⋈ broadcast(distinct phrase terms)     index never shuffles
+        groupBy(query_id, doc_id) -> pmap               one shuffle, key is
+                                                        near-unique
+        F.aggregate(terms[1:], pmap[terms[0]],
+                    acc -> filter(pmap[t], p ->
+                           exists(acc, q -> 1<=p-q<=max_gap)))
+
+    Docs missing any phrase term yield an empty/null fold result and
+    drop out via the phrase_tf > 0 filter (element_at on a missing map
+    key returns NULL; F.filter propagates it, F.size(NULL) = -1).
+    """
+    if max_gap < 1:
+        raise ValueError(f"phrase_match_batch: max_gap >= 1, got {max_gap}")
+    rows = []
+    for qid, ph in enumerate(phrases):
+        terms = tokenize(ph)
+        if terms:
+            rows.append((qid, terms))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, phrase_tf long"
+        )
+    qdf = spark.createDataFrame(rows, "query_id int, terms array<string>")
+    qterms = F.broadcast(
+        qdf.select("query_id", "terms", F.explode("terms").alias("term")).distinct()
+    )
+    cand = (
+        postings.join(qterms, "term", "inner")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_set(F.struct("term", "positions"))
+            ).alias("pmap"),
+            F.first("terms").alias("terms"),
+        )
+    )
+    folded = cand.withColumn(
+        "acc",
+        F.aggregate(
+            F.slice(F.col("terms"), 2, F.size("terms") - 1),
+            F.element_at(F.col("pmap"), F.element_at(F.col("terms"), 1)),
+            lambda acc, t: F.filter(
+                F.element_at(F.col("pmap"), t),
+                lambda p: F.exists(
+                    acc,
+                    lambda q: (p - q >= F.lit(1)) & (p - q <= F.lit(max_gap)),
+                ),
+            ),
+        ),
+    )
+    return (
+        folded.withColumn("phrase_tf", F.size("acc").cast("long"))
+        .filter(F.col("phrase_tf") > 0)
+        .select("query_id", "doc_id", "phrase_tf")
+    )
+
+
+def phrase_topk_batch(
+    spark: SparkSession,
+    postings: DataFrame,
+    phrases: list[str],
+    k: int = 10,
+    max_gap: int = 1,
+) -> DataFrame:
+    """Batched top-k: (query_id, rank, doc_id, phrase_tf), rank by
+    (phrase_tf DESC, doc_id ASC) within each query — the window IS
+    partitioned (by query_id), so this path has no single-partition
+    bottleneck at any batch size."""
+    from pyspark.sql import Window
+
+    hits = phrase_match_batch(spark, postings, phrases, max_gap=max_gap)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "phrase_tf")
+        .orderBy("query_id", "rank")
+    )
+
+
 class PositionalStore:
     """Durable positional index: the positional postings written as
     term-range-partitioned, (term, doc_id)-sorted parquet.

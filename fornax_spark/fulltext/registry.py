@@ -46,7 +46,7 @@ class Registry:
         os.replace(tmp, self._catalog_path())
 
     # -- api ----------------------------------------------------------
-    KINDS = ("segments", "ann_lsh", "ann_ivf")
+    KINDS = ("segments", "ann_lsh", "ann_ivf", "positional")
 
     def create(
         self, name: str | None = None, kind: str = "segments"
@@ -85,12 +85,16 @@ class Registry:
         """Open by id or name, dispatching on the row's kind:
         segments -> SegmentStore, ann_lsh -> AnnIndex,
         ann_ivf -> IvfIndex (the ANN kinds need `spark` to re-read
-        their parquet form)."""
+        their parquet form), positional -> PositionalStore."""
         k, cat = self._resolve(key)
         c = cat["corpora"][k]
         kind = c.get("kind", "segments")
         if kind == "segments":
             return open_segments(c["path"])
+        if kind == "positional":
+            from .positional import open_positional_store
+
+            return open_positional_store(c["path"])
         if spark is None:
             raise ValueError(f"opening a {kind!r} store requires spark=")
         from ..operators.similarity import open_ann_index, open_ivf_index

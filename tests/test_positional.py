@@ -170,6 +170,53 @@ def test_phrase_absent_term_empty(spark):
     assert phrase_match(_postings(spark, docs), ["spark", "zzz"], 3).count() == 0
 
 
+def test_phrase_batch_equals_per_phrase(spark):
+    from fornax_spark.fulltext.positional import (
+        phrase_match_batch,
+        phrase_topk_batch,
+    )
+
+    docs = _mk_docs(300, seed=19)
+    p = _postings(spark, docs)
+    phrases = [
+        "spark join",
+        "table hash scan",
+        "window",
+        "zzz spark",  # absent term -> no hits
+        "join join",
+        "",  # empty -> skipped query_id entirely
+    ]
+    for gap in (1, 3):
+        got = {
+            (r["query_id"], r["doc_id"]): r["phrase_tf"]
+            for r in phrase_match_batch(spark, p, phrases, max_gap=gap).collect()
+        }
+        want = {}
+        for qid, ph in enumerate(phrases):
+            terms = tokenize(ph)
+            if not terms:
+                continue
+            for d, tf in _ref_phrase(docs, terms, gap).items():
+                want[(qid, d)] = tf
+        assert got == want
+
+    # batched top-k == single-phrase top-k per query
+    from fornax_spark.fulltext.positional import phrase_topk
+
+    out = phrase_topk_batch(spark, p, phrases, k=5, max_gap=2).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["phrase_tf"])
+        )
+    for qid, ph in enumerate(phrases):
+        single = [
+            (r["rank"], r["doc_id"], r["phrase_tf"])
+            for r in phrase_topk(spark, p, ph, k=5, max_gap=2).collect()
+        ]
+        assert by_qid.get(qid, []) == single
+
+
 def test_positional_store_roundtrip(spark, tmp_path):
     from fornax_spark.fulltext.positional import (
         open_positional_store,
@@ -210,6 +257,34 @@ def test_positional_store_roundtrip(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "In(term" in plan
+
+
+def test_positional_store_in_registry(spark, tmp_path):
+    """Positional stores live in the same typed registry namespace as
+    segment/ANN stores and reopen through Registry.open (no spark= needed
+    — the ledger is fs-only)."""
+    from fornax_spark.fulltext.positional import write_positional_store
+    from fornax_spark.fulltext.registry import Registry
+
+    reg = Registry(str(tmp_path / "reg"))
+    _cid, path = reg.create("docs-pos", kind="positional")
+    docs = _mk_docs(100, seed=23)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    built = write_positional_store(spark, df, path)
+
+    assert {r["name"]: r["kind"] for r in reg.list()} == {
+        "docs-pos": "positional"
+    }
+    opened = reg.open("docs-pos")
+    assert (opened.n_docs, opened.avgdl) == (built.n_docs, built.avgdl)
+    a = opened.phrase_topk(spark, "spark join", k=5, max_gap=3).collect()
+    b = built.phrase_topk(spark, "spark join", k=5, max_gap=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    reg.delete("docs-pos")
+    import os
+
+    assert not os.path.exists(path)
 
 
 def test_positional_store_format_guard(spark, tmp_path):
