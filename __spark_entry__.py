@@ -425,6 +425,37 @@ def q_ft_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# batched phrase serving (positional.phrase_topk_batch): the whole batch
+# is ONE plan whose adjacency fold is data-driven (term sequence as a
+# column) — 1-term / 2-term / 3-term / duplicate-term / OOV / empty
+# phrases exercise every fold shape in a single oracle row
+FT_BATCH_PHRASES = (
+    "table hash",
+    "fast table value",
+    "scan",
+    "join join",
+    "zzz missing",
+    "",
+)
+FT_BATCH_GAP = 2
+FT_BATCH_K = 5
+
+
+def q_ft_phrase_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL phrases of FT_BATCH_PHRASES answered in one Spark plan:
+    (query_id, rank, doc_id, phrase_tf), rank within each query by
+    (phrase_tf DESC, doc_id ASC). positional.py phrase_topk_batch."""
+    from fornax_spark.fulltext.positional import phrase_topk_batch
+
+    return phrase_topk_batch(
+        spark,
+        _ft_positional(spark, sf_dir),
+        list(FT_BATCH_PHRASES),
+        k=FT_BATCH_K,
+        max_gap=FT_BATCH_GAP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish entries (SURVEY.md §2.2 operator coverage)
 # ---------------------------------------------------------------------------
@@ -1073,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_bm25_topk": q_ft_phrase_bm25_topk,
         "ft_phrase_topk_store": q_ft_phrase_topk_store,
         "ft_proximity_topk": q_ft_proximity_topk,
+        "ft_phrase_batch_topk": q_ft_phrase_batch_topk,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1203,6 +1235,60 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["ft_phrase_topk_store"] = sqls["ft_phrase_topk"]
+
+    # batched phrase serving: one hits-CTE per phrase (chained pos
+    # self-joins, the SQL mirror of the data-driven fold — distinct
+    # FINAL positions reachable through a full in-order chain), UNION
+    # ALL under a query_id literal, rank windowed PER query. Generated
+    # from FT_BATCH_PHRASES with the same tokenizer as the Spark side.
+    def _phrase_chain_sql(terms: list[str]) -> str:
+        legs = [
+            f"(SELECT doc_id, pos FROM tok WHERE term = '{t}') p{i}"
+            for i, t in enumerate(terms, start=1)
+        ]
+        joins = legs[0]
+        for i in range(2, len(terms) + 1):
+            joins += (
+                f" JOIN {legs[i - 1]} ON p{i}.doc_id = p{i - 1}.doc_id"
+                f" AND p{i}.pos - p{i - 1}.pos BETWEEN 1 AND {FT_BATCH_GAP}"
+            )
+        return (
+            f"SELECT p1.doc_id, count(DISTINCT p{len(terms)}.pos)::BIGINT"
+            f" AS phrase_tf FROM {joins} GROUP BY 1"
+        )
+
+    from fornax_spark.fulltext.textproc import tokenize as _tok
+
+    batch_arms = [
+        f"SELECT {qid} AS query_id, doc_id, phrase_tf"
+        f" FROM ({_phrase_chain_sql(terms)})"
+        for qid, terms in (
+            (i, _tok(ph)) for i, ph in enumerate(FT_BATCH_PHRASES)
+        )
+        if terms
+    ]
+    sqls["ft_phrase_batch_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos
+          FROM d
+        ), hits AS (
+          {" UNION ALL ".join(batch_arms)}
+        )
+        SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+               doc_id, phrase_tf
+        FROM (
+          SELECT query_id, doc_id, phrase_tf,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY phrase_tf DESC, doc_id ASC) AS rank
+          FROM hits
+        )
+        WHERE rank <= {FT_BATCH_K}
+        ORDER BY query_id, rank
+    """
 
     sqls["ft_proximity_topk"] = f"""
         WITH d AS (
