@@ -392,6 +392,43 @@ def q_ft_phrase_topk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_phrase_topk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query, answered from a positional store that went
+    through every lifecycle verb: build(even doc_ids) -> add_docs(odd
+    doc_ids) -> add_docs(junk) -> delete_docs(junk) -> compact. Net
+    content == the documents table, so the shared phrase oracle gates
+    the positional LSM (generations + tombstones + fold) end to end."""
+    import os as _os
+    import tempfile
+
+    from fornax_spark.fulltext.positional import write_positional_store
+
+    key = f"lifecycle::{sf_dir}"
+    if key not in _FT_POS_STORE_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        junk = spark.createDataFrame(
+            [(int(max_id) + 1 + i, "table hash table hash") for i in range(3)],
+            "doc_id long, text string",
+        )
+        st = write_positional_store(
+            spark,
+            docs.filter(F.col("doc_id") % 2 == 0),
+            tempfile.mkdtemp(
+                prefix="fornax_entry_poslc_",
+                dir="/dev/shm" if _os.path.isdir("/dev/shm") else None,
+            ),
+        )
+        st.add_docs(spark, docs.filter(F.col("doc_id") % 2 == 1))
+        st.add_docs(spark, junk)
+        st.delete_docs(spark, [r["doc_id"] for r in junk.collect()])
+        st.compact(spark)
+        _FT_POS_STORE_CACHE[key] = st
+    return _FT_POS_STORE_CACHE[key].phrase_topk(
+        spark, FT_PHRASE, k=FT_K, max_gap=1
+    )
+
+
 def q_ft_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-as-virtual-term BM25 ranking of the exact-phrase hits
     (tf = phrase occurrences, df = docs containing the phrase); corpus
@@ -1103,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_topk": q_ft_phrase_topk,
         "ft_phrase_bm25_topk": q_ft_phrase_bm25_topk,
         "ft_phrase_topk_store": q_ft_phrase_topk_store,
+        "ft_phrase_topk_lifecycle": q_ft_phrase_topk_lifecycle,
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_phrase_batch_topk": q_ft_phrase_batch_topk,
         "ft_postings": q_ft_postings,
@@ -1235,6 +1273,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["ft_phrase_topk_store"] = sqls["ft_phrase_topk"]
+    # full positional lifecycle (build -> add_docs x2 -> delete_docs ->
+    # compact): net content == the documents table, so the standard
+    # phrase oracle gates the generation/tombstone/compaction path
+    sqls["ft_phrase_topk_lifecycle"] = sqls["ft_phrase_topk"]
 
     # batched phrase serving: one hits-CTE per phrase (chained pos
     # self-joins, the SQL mirror of the data-driven fold — distinct

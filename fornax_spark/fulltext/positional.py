@@ -276,17 +276,225 @@ class PositionalStore:
     `term IN (...)` pushed filter prunes to the handful of row groups
     holding those terms. No custom codec to maintain, and the store is
     readable by any parquet reader.
+
+    Lifecycle verbs (LSM, same shape as the segment store's facade —
+    the reference runs its whole lifecycle through handle verbs,
+    /root/reference/fornax/api.py:327-416):
+
+      * add_docs    — new docs become a DELTA GENERATION directory with
+                      the same layout; reads union the generations in
+                      one scan. Duplicate doc_ids raise.
+      * delete_docs — ledger tombstones masked at query time with EXACT
+                      shifted stats (n_docs/avgdl == a rebuild without
+                      the docs, the deletes.py invariant).
+      * compact     — fold generations minus tombstones into ONE fresh
+                      generation; queries afterward == a clean rebuild.
+
+    Tombstones live in the JSON ledger, so the delete list is
+    driver-sized by construction; at web scale a delete wave past that
+    belongs in compact(), not the ledger.
     """
 
     FORMAT = 1
 
-    def __init__(self, path: str, n_docs: int, avgdl: float):
+    def __init__(
+        self,
+        path: str,
+        n_docs: int,
+        avgdl: float,
+        generations: list[str] | None = None,
+        tombstones: list[int] | None = None,
+        total_dl: int | None = None,
+        n_partitions: int | None = None,
+    ):
         self.path = path
         self.n_docs = n_docs
         self.avgdl = avgdl
+        self.generations = generations or ["postings"]
+        self.tombstones = sorted(tombstones or [])
+        # exact running token total (avgdl = total_dl / n_docs); ledgers
+        # written before the lifecycle verbs lack it — reconstruct from
+        # avgdl (exact: avgdl was computed as total/n on write)
+        self.total_dl = (
+            int(round(avgdl * n_docs)) if total_dl is None else int(total_dl)
+        )
+        self.n_partitions = n_partitions
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(f"{self.path}/postings")
+        """Live postings: all generations in ONE multi-path scan (the
+        term filter still pushes down to every file), minus tombstoned
+        docs via a broadcast anti-join (ledger-sized list)."""
+        import os
+
+        df = spark.read.parquet(
+            *(os.path.join(self.path, g) for g in self.generations)
+        )
+        if self.tombstones:
+            t = spark.createDataFrame(
+                [(int(i),) for i in self.tombstones], "doc_id long"
+            )
+            df = df.join(F.broadcast(t), "doc_id", "left_anti")
+        return df
+
+    # -- lifecycle verbs ------------------------------------------------
+
+    def _write_ledger(self) -> None:
+        import json
+        import os
+
+        ledger = {
+            "format": self.FORMAT,
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "n_partitions": self.n_partitions,
+            "generations": self.generations,
+            "tombstones": self.tombstones,
+            "total_dl": self.total_dl,
+        }
+        tmp = os.path.join(self.path, "ledger.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(ledger, f)
+        os.replace(tmp, os.path.join(self.path, "ledger.json"))
+
+    def add_docs(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "PositionalStore":
+        """Incremental ingest: write `docs` as a new delta generation.
+
+        Validation mirrors the segment facade's contract: a doc_id
+        duplicated WITHIN the batch or already LIVE in the store raises
+        ValueError (the reference's duplicate-id IntegrityError,
+        /root/reference/fornax/api.py:357-416); a doc_id still in the
+        tombstone list raises too — compact() first, else the query-time
+        tombstone mask would swallow the re-added rows."""
+        import os
+
+        new_ids = docs.select(F.col(id_col).alias("doc_id"))
+        dup = (
+            new_ids.groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"add_docs: doc_id {dup[0]['doc_id']} duplicated within "
+                "the batch"
+            )
+        if self.tombstones:
+            t = spark.createDataFrame(
+                [(int(i),) for i in self.tombstones], "doc_id long"
+            )
+            hit = new_ids.join(F.broadcast(t), "doc_id").limit(1).collect()
+            if hit:
+                raise ValueError(
+                    f"add_docs: doc_id {hit[0]['doc_id']} is tombstoned — "
+                    "compact() before re-adding it"
+                )
+        live = (
+            self.postings(spark)
+            .select("doc_id")
+            .join(new_ids.distinct(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if live:
+            raise ValueError(
+                f"add_docs: doc_id {live[0]['doc_id']} already live in the "
+                "store — delete_docs + compact to replace it"
+            )
+        gen = f"postings_d{len(self.generations) + 1}"
+        postings = build_positional_postings(
+            docs, id_col=id_col, text_col=text_col
+        )
+        nparts = self.n_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        (
+            postings.repartitionByRange(nparts, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, gen))
+        )
+        n_new = docs.count()  # zero-token docs count toward n_docs
+        row = (
+            spark.read.parquet(os.path.join(self.path, gen))
+            .groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.sum("dl").alias("total"))
+            .collect()[0]
+        )
+        self.generations.append(gen)
+        self.n_docs += n_new
+        self.total_dl += int(row["total"] or 0)
+        self.avgdl = self.total_dl / self.n_docs if self.n_docs else 0.0
+        self._write_ledger()
+        return self
+
+    def delete_docs(
+        self, spark: SparkSession, doc_ids: list[int]
+    ) -> "PositionalStore":
+        """Tombstone `doc_ids` with exact shifted stats: n_docs/avgdl
+        afterward equal a rebuild without the docs (only ids actually
+        present in the store shift the stats — same contract as the
+        segment store's deletes.py)."""
+        want = sorted(set(int(i) for i in doc_ids) - set(self.tombstones))
+        if not want:
+            return self
+        ids = spark.createDataFrame([(i,) for i in want], "doc_id long")
+        present = (
+            self.postings(spark)
+            .join(F.broadcast(ids), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .collect()
+        )
+        if not present:
+            return self
+        self.tombstones = sorted(
+            set(self.tombstones) | {int(r["doc_id"]) for r in present}
+        )
+        self.n_docs -= len(present)
+        self.total_dl -= int(sum(r["dl"] for r in present))
+        self.avgdl = self.total_dl / self.n_docs if self.n_docs else 0.0
+        self._write_ledger()
+        return self
+
+    def compact(self, spark: SparkSession) -> "PositionalStore":
+        """Fold all generations minus tombstones into ONE fresh
+        generation directory (written fully before the ledger swap, so a
+        crash leaves the old state readable), then drop the old dirs."""
+        import os
+        import shutil
+
+        nparts = self.n_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        n = 1
+        while f"postings_g{n}" in self.generations or os.path.exists(
+            os.path.join(self.path, f"postings_g{n}")
+        ):
+            n += 1
+        gen = f"postings_g{n}"
+        (
+            self.postings(spark)
+            .repartitionByRange(nparts, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.path, gen))
+        )
+        old = list(self.generations)
+        self.generations = [gen]
+        self.tombstones = []
+        self._write_ledger()
+        for g in old:
+            shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
+        return self
 
     def phrase_topk(
         self, spark: SparkSession, phrase: str, k: int = 10, max_gap: int = 1
@@ -319,9 +527,6 @@ def write_positional_store(
 ) -> PositionalStore:
     """Build positional postings from docs and persist them as a
     PositionalStore at `path` (see class docstring for the layout)."""
-    import json
-    import os
-
     postings = build_positional_postings(docs, id_col=id_col, text_col=text_col)
     if n_partitions is None:
         n_partitions = int(
@@ -345,16 +550,19 @@ def write_positional_store(
         .agg(F.sum("dl").alias("total"))
         .collect()[0]
     )
-    avgdl = (float(dl_row["total"] or 0) / n_docs) if n_docs else 0.0
-    ledger = {
-        "format": PositionalStore.FORMAT,
-        "n_docs": n_docs,
-        "avgdl": avgdl,
-        "n_partitions": n_partitions,
-    }
-    with open(os.path.join(path, "ledger.json"), "w") as f:
-        json.dump(ledger, f)
-    return PositionalStore(path, n_docs, avgdl)
+    total_dl = int(dl_row["total"] or 0)
+    avgdl = (float(total_dl) / n_docs) if n_docs else 0.0
+    store = PositionalStore(
+        path,
+        n_docs,
+        avgdl,
+        generations=["postings"],
+        tombstones=[],
+        total_dl=total_dl,
+        n_partitions=n_partitions,
+    )
+    store._write_ledger()
+    return store
 
 
 def open_positional_store(path: str) -> PositionalStore:
@@ -368,7 +576,15 @@ def open_positional_store(path: str) -> PositionalStore:
             f"positional store at {path}: format {ledger.get('format')} "
             f"!= expected {PositionalStore.FORMAT}"
         )
-    return PositionalStore(path, int(ledger["n_docs"]), float(ledger["avgdl"]))
+    return PositionalStore(
+        path,
+        int(ledger["n_docs"]),
+        float(ledger["avgdl"]),
+        generations=ledger.get("generations"),
+        tombstones=ledger.get("tombstones"),
+        total_dl=ledger.get("total_dl"),
+        n_partitions=ledger.get("n_partitions"),
+    )
 
 
 def phrase_bm25_topk(

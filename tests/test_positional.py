@@ -304,3 +304,93 @@ def test_positional_store_format_guard(spark, tmp_path):
     ledger_path.write_text(json.dumps(ledger))
     with pytest.raises(ValueError, match="format"):
         open_positional_store(str(tmp_path / "pos2"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_positional_lifecycle_equals_clean_rebuild(spark, tmp_path):
+    """build(half) -> add_docs(rest + junk) -> delete_docs(junk) ->
+    compact: stats and every query form equal a clean rebuild over the
+    surviving docs (the segment store's LSM invariant, on the
+    positional store)."""
+    from fornax_spark.fulltext.positional import (
+        open_positional_store,
+        write_positional_store,
+    )
+
+    docs = _mk_docs(400, seed=31)
+    junk = [(10_000 + i, "spark join spark join") for i in range(7)]
+    st = write_positional_store(
+        spark, _df(spark, docs[:250]), str(tmp_path / "st"), n_partitions=4
+    )
+    st.add_docs(spark, _df(spark, docs[250:] + junk))
+    st.delete_docs(spark, [j for j, _ in junk])
+    clean = write_positional_store(
+        spark, _df(spark, docs), str(tmp_path / "clean"), n_partitions=4
+    )
+    assert (st.n_docs, st.total_dl) == (clean.n_docs, clean.total_dl)
+    assert st.avgdl == clean.avgdl  # same ints, same division
+    for q, g in [("spark join", 2), ("table hash scan", 1), ("window", 1)]:
+        a = st.phrase_topk(spark, q, k=8, max_gap=g).collect()
+        b = clean.phrase_topk(spark, q, k=8, max_gap=g).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        a2 = st.phrase_bm25_topk(spark, q, k=8, max_gap=g).collect()
+        b2 = clean.phrase_bm25_topk(spark, q, k=8, max_gap=g).collect()
+        assert [(r["rank"], r["doc_id"]) for r in a2] == [
+            (r["rank"], r["doc_id"]) for r in b2
+        ]
+        for ra, rb in zip(a2, b2):
+            assert abs(ra["score"] - rb["score"]) < 1e-9
+    # compact folds to one tombstone-free generation; results unchanged
+    # and durable across a reopen
+    before = [tuple(r) for r in st.phrase_topk(spark, "spark join", 8, 2).collect()]
+    st.compact(spark)
+    assert len(st.generations) == 1 and st.tombstones == []
+    import os
+
+    assert sorted(
+        d for d in os.listdir(st.path) if d.startswith("postings")
+    ) == st.generations
+    re = open_positional_store(str(tmp_path / "st"))
+    assert (re.n_docs, re.avgdl, re.generations, re.tombstones) == (
+        st.n_docs,
+        st.avgdl,
+        st.generations,
+        st.tombstones,
+    )
+    after = [tuple(r) for r in re.phrase_topk(spark, "spark join", 8, 2).collect()]
+    assert before == after
+
+
+def test_positional_add_docs_validation(spark, tmp_path):
+    """Duplicate-in-batch, already-live, and tombstoned doc_ids all
+    raise; re-adding a tombstoned id works after compact()."""
+    from fornax_spark.fulltext.positional import write_positional_store
+
+    st = write_positional_store(
+        spark,
+        _df(spark, [(1, "spark join table"), (2, "hash scan row")]),
+        str(tmp_path / "st"),
+        n_partitions=2,
+    )
+    with pytest.raises(ValueError, match="duplicated within"):
+        st.add_docs(spark, _df(spark, [(9, "agg"), (9, "row")]))
+    with pytest.raises(ValueError, match="already live"):
+        st.add_docs(spark, _df(spark, [(1, "spark")]))
+    st.delete_docs(spark, [1])
+    assert st.n_docs == 1
+    with pytest.raises(ValueError, match="tombstoned"):
+        st.add_docs(spark, _df(spark, [(1, "spark")]))
+    st.compact(spark)
+    st.add_docs(spark, _df(spark, [(1, "join join join")]))
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in st.phrase_topk(spark, "join", k=5).collect()
+    }
+    assert got == {1: 3}
+    # idempotent/no-op deletes: absent ids and re-deletes change nothing
+    st.delete_docs(spark, [999])
+    st.delete_docs(spark, [])
+    assert st.n_docs == 2
