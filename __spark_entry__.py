@@ -493,6 +493,47 @@ def q_ft_phrase_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# boolean retrieval (query.search_boolean): BM25 over must ∪ should,
+# hits filtered to contain ALL must terms and NONE of must_not
+FT_BOOL_SHOULD = "spark join window"
+FT_BOOL_MUST = "table"
+FT_BOOL_MUST_NOT = "vector"
+# term-weighted BM25 (query.search_weighted): weights ∈ (0, 1], the
+# full-text analogue of the reference's match weights
+# (/root/reference/fornax/model.py:49-53 CHECK 0 < weight <= 1)
+FT_WEIGHTS = {"spark": 1.0, "join": 0.5, "window": 0.25}
+
+
+def q_ft_bm25_topk_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-filtered BM25 (MUST/SHOULD/MUST_NOT, Lucene contract):
+    one postings scan serves scoring, must-coverage, and exclusion."""
+    from fornax_spark.fulltext.query import search_boolean
+
+    out = search_boolean(
+        spark,
+        _ft_index(spark, sf_dir),
+        should=FT_BOOL_SHOULD,
+        must=FT_BOOL_MUST,
+        must_not=FT_BOOL_MUST_NOT,
+        k=FT_K,
+    )
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+def q_ft_bm25_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-weighted BM25: score(d) = Σ_t w_t · bm25(t, d)."""
+    from fornax_spark.fulltext.query import search_weighted
+
+    out = search_weighted(
+        spark, _ft_index(spark, sf_dir), dict(FT_WEIGHTS), k=FT_K
+    )
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / TPC-H-ish entries (SURVEY.md §2.2 operator coverage)
 # ---------------------------------------------------------------------------
@@ -1143,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_topk_lifecycle": q_ft_phrase_topk_lifecycle,
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_phrase_batch_topk": q_ft_phrase_batch_topk,
+        "ft_bm25_topk_boolean": q_ft_bm25_topk_boolean,
+        "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1194,6 +1237,89 @@ def oracle_sql() -> dict[str, str]:
     # -> publish_bucketed): net content == the documents table, so the
     # standard oracle gates the LSM/tombstone/compaction path
     sqls["ft_bm25_topk_lifecycle"] = BM25_SQL
+
+    # boolean retrieval: same BM25 arithmetic as BM25_SQL over
+    # must ∪ should, plus a conjunctive must-coverage HAVING and an
+    # exclusion anti-filter — all generated from the entry constants
+    _b_must = sorted(set(FT_BOOL_MUST.split()))
+    _b_scored = sorted(set((FT_BOOL_SHOULD + " " + FT_BOOL_MUST).split()))
+    _b_ban = sorted(set(FT_BOOL_MUST_NOT.split()))
+    _in = lambda ts: ", ".join(f"'{t}'" for t in ts)  # noqa: E731
+    sqls["ft_bm25_topk_boolean"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ({_in(_b_scored)}) GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), banned AS (
+          SELECT DISTINCT doc_id FROM tok WHERE term IN ({_in(_b_ban)})
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score,
+                 count(DISTINCT CASE WHEN tf.term IN ({_in(_b_must)})
+                                     THEN tf.term END) AS must_hits
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+          GROUP BY 1
+        )
+        SELECT rank, doc_id, round(score, 4) AS score FROM (
+          SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS INT) AS rank, doc_id, score
+          FROM scores
+          WHERE must_hits = {len(_b_must)}
+            AND doc_id NOT IN (SELECT doc_id FROM banned)
+          ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
+    """
+
+    _w_terms = sorted(FT_WEIGHTS)
+    _w_case = " ".join(
+        f"WHEN '{t}' THEN {FT_WEIGHTS[t]!r}" for t in _w_terms
+    )
+    sqls["ft_bm25_topk_weighted"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ({_in(_w_terms)}) GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   (CASE tf.term {_w_case} END)
+                   * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+          GROUP BY 1
+        )
+        SELECT rank, doc_id, round(score, 4) AS score FROM (
+          SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS INT) AS rank, doc_id, score
+          FROM scores ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
+    """
 
     sqls["ft_postings"] = f"""
         SELECT term, doc_id, count(*)::BIGINT AS tf

@@ -118,5 +118,139 @@ def search(
     return out.select("rank", "doc_id", "score")
 
 
+def search_boolean(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    should: str = "",
+    must: str = "",
+    must_not: str = "",
+    k: int = 10,
+) -> DataFrame:
+    """Boolean-filtered BM25 -> (rank, doc_id, score): hits must contain
+    ALL `must` terms and NONE of `must_not`; ranking is BM25 over
+    must ∪ should terms (Lucene's MUST/SHOULD/MUST_NOT contract).
+
+    ONE postings scan serves all three roles: every term (including the
+    exclusions) goes into the same broadcast term join, so the pushed
+    `term IN` filter covers them all, and a single groupBy(doc_id)
+    computes must-coverage, banned-ness, and the score together —
+    must_not never becomes a second scan or a big anti-join side.
+    Per-doc sums accumulate in ascending term order (the determinism
+    contract shared with score_batch / the DuckDB oracle)."""
+    m = sorted(set(tokenize(must)))
+    s_terms = sorted(set(tokenize(should)) - set(m))
+    ban = sorted(set(tokenize(must_not)))
+    if (set(m) | set(s_terms)) & set(ban):
+        raise ValueError("search_boolean: a term is both scored and banned")
+    if not m and not s_terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    rows = (
+        [(t, "must") for t in m]
+        + [(t, "should") for t in s_terms]
+        + [(t, "must_not") for t in ban]
+    )
+    qt = F.broadcast(spark.createDataFrame(rows, "term string, kind string"))
+    tstats = F.broadcast(
+        idx.term_stats.join(qt.select("term").distinct(), "term", "inner")
+    )
+    cand = (
+        idx.postings.join(qt, "term", "inner")
+        .join(tstats, "term", "left")
+        .withColumn(
+            "s",
+            _score_udf(idx.stats.n_docs, idx.stats.avgdl)(
+                F.col("tf"), F.col("dl"), F.coalesce(F.col("df"), F.lit(1.0))
+            ),
+        )
+    )
+    per_doc = cand.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias(
+            "must_hits"
+        ),
+        F.max(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias(
+            "banned"
+        ),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "kind", "s"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc
+            + F.when(x["kind"] != "must_not", x["s"]).otherwise(0.0),
+        ).alias("score"),
+    )
+    hits = per_doc.filter(
+        (F.col("must_hits") == len(m)) & (F.col("banned") == 0)
+    )
+    topk = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    # UNPARTITIONED window — safe ONLY on the k-row limit() output
+    # (same contract as wand.py's rank window)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "doc_id", "score")
+
+
+def search_weighted(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """Term-weighted BM25 -> (rank, doc_id, score): score(d) =
+    Σ_t w_t · bm25(t, d). The per-term weights are the full-text
+    analogue of the reference's label-similarity match weights, and
+    keep its contract — weight ∈ (0, 1], CHECK-enforced at ingest
+    (/root/reference/fornax/model.py:49-53); violations raise like the
+    reference's IntegrityError."""
+    terms = {}
+    for t, wgt in weights.items():
+        toks = tokenize(t)
+        if len(toks) != 1:
+            raise ValueError(
+                f"search_weighted: {t!r} is not a single term"
+            )
+        if not 0.0 < float(wgt) <= 1.0:
+            raise ValueError(
+                f"search_weighted: weight for {t!r} must be in (0, 1], "
+                f"got {wgt}"
+            )
+        terms[toks[0]] = float(wgt)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    qt = F.broadcast(
+        spark.createDataFrame(
+            sorted(terms.items()), "term string, w double"
+        )
+    )
+    tstats = F.broadcast(
+        idx.term_stats.join(qt.select("term"), "term", "inner")
+    )
+    cand = (
+        idx.postings.join(qt, "term", "inner")
+        .join(tstats, "term", "inner")
+        .withColumn(
+            "s",
+            F.col("w")
+            * _score_udf(idx.stats.n_docs, idx.stats.avgdl)(
+                F.col("tf"), F.col("dl"), F.col("df")
+            ),
+        )
+    )
+    per_doc = cand.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    topk = per_doc.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    # UNPARTITIONED window — safe ONLY on the k-row limit() output
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "doc_id", "score")
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)

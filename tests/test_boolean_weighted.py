@@ -1,0 +1,147 @@
+"""Boolean (MUST/SHOULD/MUST_NOT) and term-weighted BM25 retrieval vs
+an independent pure-Python reference (shared tokenizer + bm25 kernel
+only — candidate logic is re-derived here from the definition)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from fornax_spark.fulltext import bm25
+from fornax_spark.fulltext.build import build_index_from_table
+from fornax_spark.fulltext.query import search, search_boolean, search_weighted
+from fornax_spark.fulltext.textproc import tokenize
+
+VOCAB = ["spark", "join", "window", "table", "hash", "scan", "agg", "row"]
+
+
+def _mk_docs(n: int, seed: int) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 30))))
+        for i in range(n)
+    ]
+
+
+def _corpus_stats(docs):
+    toks = {d: tokenize(t) for d, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs if n_docs else 0.0
+    return toks, n_docs, avgdl
+
+
+def _ref_topk(docs, weights, must, ban, k):
+    """weights: term -> w (scoring terms, ascending-term accumulation);
+    must/ban: sets of filter terms."""
+    toks, n_docs, avgdl = _corpus_stats(docs)
+    df = {}
+    for t in set(weights) | set(must) | set(ban):
+        df[t] = sum(1 for v in toks.values() if t in v)
+    out = []
+    for d, v in toks.items():
+        present = set(v)
+        if must - present or (ban & present):
+            continue
+        score = 0.0
+        hit = False
+        for t in sorted(weights):
+            tf = v.count(t)
+            if not tf:
+                continue
+            hit = True
+            score += weights[t] * float(
+                bm25.term_score(
+                    np.array([tf]),
+                    np.array([len(v)]),
+                    np.array([df[t]]),
+                    n_docs,
+                    avgdl,
+                )[0]
+            )
+        if hit:
+            out.append((d, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = _mk_docs(350, seed=41)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index_from_table(df, "doc_id", "text").persist()
+    yield docs, idx
+    idx.postings.unpersist()
+
+
+@pytest.mark.parametrize(
+    "should,must,must_not",
+    [
+        ("spark join", "table", "row"),
+        ("spark join window", "", "agg"),
+        ("", "spark join", ""),  # must-only: must terms score
+        ("hash", "scan table", "spark join"),
+        ("window", "zzz", ""),  # absent must term -> no hits
+    ],
+)
+def test_boolean_equals_reference(spark, corpus, should, must, must_not):
+    docs, idx = corpus
+    m, s, b = (
+        set(tokenize(must)),
+        set(tokenize(should)),
+        set(tokenize(must_not)),
+    )
+    weights = {t: 1.0 for t in m | s}
+    want = _ref_topk(docs, weights, m, b, k=12)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_boolean(
+            spark, idx, should=should, must=must, must_not=must_not, k=12
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, w) in zip(got, want):
+        assert abs(a - w) < 1e-9
+
+
+def test_boolean_validation(spark, corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError, match="scored and banned"):
+        search_boolean(spark, idx, should="spark", must_not="spark")
+    assert search_boolean(spark, idx).count() == 0  # empty query
+    # no-must + no-should but with must_not alone is still empty
+    assert search_boolean(spark, idx, must_not="spark").count() == 0
+
+
+def test_weighted_equals_reference(spark, corpus):
+    docs, idx = corpus
+    weights = {"spark": 1.0, "join": 0.5, "window": 0.125}
+    want = _ref_topk(docs, weights, set(), set(), k=12)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_weighted(spark, idx, weights, k=12).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, w) in zip(got, want):
+        assert abs(a - w) < 1e-9
+
+
+def test_weighted_all_ones_equals_plain_search(spark, corpus):
+    _, idx = corpus
+    a = search_weighted(
+        spark, idx, {"spark": 1.0, "join": 1.0, "window": 1.0}, k=10
+    ).collect()
+    b = search(spark, idx, "spark join window", k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_weighted_validation(spark, corpus):
+    _, idx = corpus
+    with pytest.raises(ValueError, match=r"in \(0, 1\]"):
+        search_weighted(spark, idx, {"spark": 0.0})
+    with pytest.raises(ValueError, match=r"in \(0, 1\]"):
+        search_weighted(spark, idx, {"spark": 1.5})
+    with pytest.raises(ValueError, match="single term"):
+        search_weighted(spark, idx, {"spark join": 1.0})
+    assert search_weighted(spark, idx, {}).count() == 0
