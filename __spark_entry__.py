@@ -164,15 +164,12 @@ def q_ft_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FT_STORE_CACHE: dict[str, object] = {}
 
 
-def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same query as ft_bm25_topk, answered by the compressed segment
-    store + block-max kernel (wand.py) instead of the DataFrame join —
-    the SQL oracle is identical, which gates the whole codec/segment/
-    MaxScore path against DuckDB."""
+def _ft_store(spark: SparkSession, sf_dir: str):
+    """One segment-store build per corpus per process, shared by every
+    store-served entry."""
     import tempfile
 
     from fornax_spark.fulltext.segments import build_segments
-    from fornax_spark.fulltext.wand import search_segments
 
     if sf_dir not in _FT_STORE_CACHE:
         idx = _ft_index(spark, sf_dir)
@@ -191,7 +188,17 @@ def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             n_buckets=32,
         )
-    out = search_segments(spark, _FT_STORE_CACHE[sf_dir], FT_QUERY, k=FT_K)
+    return _FT_STORE_CACHE[sf_dir]
+
+
+def q_ft_bm25_topk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as ft_bm25_topk, answered by the compressed segment
+    store + block-max kernel (wand.py) instead of the DataFrame join —
+    the SQL oracle is identical, which gates the whole codec/segment/
+    MaxScore path against DuckDB."""
+    from fornax_spark.fulltext.wand import search_segments
+
+    out = search_segments(spark, _ft_store(spark, sf_dir), FT_QUERY, k=FT_K)
     return out.select("rank", "doc_id", F.round(F.col("score"), 4).alias("score"))
 
 
@@ -205,7 +212,7 @@ def _ft_bucketed_store(spark: SparkSession, sf_dir: str):
         # satisfies the per-bucket kernel's distribution, so the blobs
         # never shuffle at query time — at 100 TB this is the default
         # store form, so it gets its own oracle-gated entry
-        q_ft_bm25_topk_segments(spark, sf_dir)  # ensure store exists
+        store = _ft_store(spark, sf_dir)
         import re as _re
 
         from fornax_spark.fulltext.segments import as_bucketed_table
@@ -217,7 +224,7 @@ def _ft_bucketed_store(spark: SparkSession, sf_dir: str):
         # corpus's blocks under the first corpus's n_docs/avgdl stats)
         suffix = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
         _FT_BSTORE_CACHE[sf_dir] = as_bucketed_table(
-            spark, _FT_STORE_CACHE[sf_dir], f"entry_bucketed_store_{suffix}"
+            spark, store, f"entry_bucketed_store_{suffix}"
         )
     return _FT_BSTORE_CACHE[sf_dir]
 
@@ -531,6 +538,40 @@ def q_ft_bm25_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+def q_ft_bm25_topk_boolean_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same boolean query served from the DURABLE segment store:
+    postings come from wand.decode_postings (pushed term_id filter,
+    live tombstone mask) with tombstone-shifted stats — shares
+    ft_bm25_topk_boolean's oracle."""
+    from fornax_spark.fulltext.wand import search_boolean_segments
+
+    out = search_boolean_segments(
+        spark,
+        _ft_store(spark, sf_dir),
+        should=FT_BOOL_SHOULD,
+        must=FT_BOOL_MUST,
+        must_not=FT_BOOL_MUST_NOT,
+        k=FT_K,
+    )
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
+def q_ft_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment store exported BACK to a postings table
+    (wand.decode_postings, full-store form): every blob decode, the
+    dictionary join, and the layout round-trip are gated by the same
+    DuckDB oracle as ft_postings."""
+    from fornax_spark.fulltext.wand import decode_postings
+
+    return decode_postings(spark, _ft_store(spark, sf_dir)).select(
+        "term", "doc_id", "tf"
     )
 
 
@@ -1185,7 +1226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_proximity_topk": q_ft_proximity_topk,
         "ft_phrase_batch_topk": q_ft_phrase_batch_topk,
         "ft_bm25_topk_boolean": q_ft_bm25_topk_boolean,
+        "ft_bm25_topk_boolean_segments": q_ft_bm25_topk_boolean_segments,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
+        "ft_postings_store": q_ft_postings_store,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1326,6 +1369,11 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents)
         GROUP BY 1, 2
     """
+    # the store decoded back to a postings table (wand.decode_postings):
+    # blob round-trip + dictionary join gated by the same oracle
+    sqls["ft_postings_store"] = sqls["ft_postings"]
+    # store-served boolean search: decode + tombstone-shifted stats
+    sqls["ft_bm25_topk_boolean_segments"] = sqls["ft_bm25_topk_boolean"]
 
     sqls["ft_term_stats"] = f"""
         SELECT term, count(*)::BIGINT AS df FROM (

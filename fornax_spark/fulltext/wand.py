@@ -430,3 +430,136 @@ def search_segments(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "score"
     )
+
+
+def decode_postings(
+    spark: SparkSession, store: SegmentStore, terms: list[str] | None = None
+) -> DataFrame:
+    """Decode the store's posting blocks back into a LIVE postings view
+    (term, doc_id, tf, dl): tombstoned docs are masked out, so the
+    result equals build.build_postings over the surviving documents
+    (test-pinned in tests/test_boolean_weighted.py).
+
+    With `terms`, the dictionary resolves term_ids and the block scan
+    carries a pushed `term_id IN` filter (row-group pruning on the
+    (bucket, term_id, block_id)-sorted layout) — the serving path for
+    store-served boolean/weighted search. With terms=None the whole
+    store is exported; the dictionary join is then vocabulary-sized and
+    left to AQE (no broadcast assumption).
+    """
+    cmod = codec.get_codec(store.codec)
+    tomb, _, _ = _store_tombstones(store)
+    tomb_ids = tomb.doc_ids if tomb is not None else None
+    blocks = store.blocks(spark).select(
+        "term_id", "n", "doc_blob", "tf_blob", "dl_blob"
+    )
+    if terms is not None:
+        ids = store.term_ids(spark, sorted(set(terms)))
+        if not ids:
+            return spark.createDataFrame(
+                [], "term string, doc_id long, tf long, dl long"
+            )
+        blocks = blocks.filter(
+            F.col("term_id").isin(sorted(ids.values()))
+        )
+        dict_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(ids.items()), "term string, term_id int"
+            )
+        )
+    else:
+        dict_df = store.dictionary(spark).select("term", "term_id")
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {"term_id": [], "doc_id": [], "tf": [], "dl": []}
+            for row in pdf.itertuples(index=False):
+                docs, tf, dl = _decode_block(row, cmod)
+                if tomb_ids is not None:
+                    keep = ~np.isin(docs, tomb_ids)
+                    docs, tf, dl = docs[keep], tf[keep], dl[keep]
+                if not len(docs):
+                    continue
+                cols["term_id"].append(
+                    np.full(len(docs), row.term_id, dtype=np.int32)
+                )
+                cols["doc_id"].append(docs)
+                cols["tf"].append(tf)
+                cols["dl"].append(dl)
+            if cols["term_id"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in cols.items()}
+                )
+
+    decoded = blocks.mapInPandas(
+        gen, "term_id int, doc_id long, tf long, dl long"
+    )
+    return decoded.join(dict_df, "term_id").select(
+        "term", "doc_id", "tf", "dl"
+    )
+
+
+def _store_as_index(spark: SparkSession, store: SegmentStore, terms: list[str]):
+    """Minimal InvertedIndex-shaped view of the store for the boolean /
+    weighted query paths: postings decoded for `terms` only, term df
+    from the dictionary shifted by the tombstone deltas (exact — the
+    same stats the WAND kernels use), tombstone-shifted n_docs/avgdl."""
+    from types import SimpleNamespace
+
+    tomb, n_docs, avgdl = _store_tombstones(store)
+    ids = store.term_ids(spark, terms)
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in store.dictionary(spark)
+        .filter(F.col("term").isin(sorted(ids)))
+        .collect()
+    }
+    if tomb is not None:
+        for t, tid in ids.items():
+            dfs[t] = dfs[t] - int(tomb.df_deltas.get(str(int(tid)), 0))
+    rows = [(t, d) for t, d in sorted(dfs.items()) if d > 0]
+    term_stats = spark.createDataFrame(
+        rows or [("", 0)], "term string, df long"
+    ).filter(F.col("df") > 0)
+    return SimpleNamespace(
+        postings=decode_postings(spark, store, terms),
+        term_stats=term_stats,
+        stats=SimpleNamespace(n_docs=n_docs, avgdl=avgdl),
+    )
+
+
+def search_boolean_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    should: str = "",
+    must: str = "",
+    must_not: str = "",
+    k: int = 10,
+) -> DataFrame:
+    """query.search_boolean served from the durable segment store:
+    postings come from decode_postings (pushed term_id filter, live
+    tombstone mask) and the stats are tombstone-shifted — results equal
+    the raw-index path over the surviving documents bit for bit."""
+    from .query import search_boolean
+
+    terms = sorted(
+        set(tokenize(should)) | set(tokenize(must)) | set(tokenize(must_not))
+    )
+    idx = _store_as_index(spark, store, terms)
+    return search_boolean(
+        spark, idx, should=should, must=must, must_not=must_not, k=k
+    )
+
+
+def search_weighted_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """query.search_weighted served from the durable segment store
+    (same stats contract as search_boolean_segments)."""
+    from .query import search_weighted
+
+    idx = _store_as_index(spark, store, sorted(weights))
+    return search_weighted(spark, idx, weights, k=k)

@@ -145,3 +145,72 @@ def test_weighted_validation(spark, corpus):
     with pytest.raises(ValueError, match="single term"):
         search_weighted(spark, idx, {"spark join": 1.0})
     assert search_weighted(spark, idx, {}).count() == 0
+
+
+def test_decode_postings_roundtrip(spark, corpus, tmp_path):
+    """Store -> decode_postings == the postings the store was built
+    from (full export and pruned-term forms)."""
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import decode_postings
+
+    docs, idx = corpus
+    store = build_segments(spark, idx, str(tmp_path / "st"), n_buckets=8)
+    want = sorted(
+        tuple(r)
+        for r in idx.postings.select("term", "doc_id", "tf", "dl").collect()
+    )
+    got = sorted(tuple(r) for r in decode_postings(spark, store).collect())
+    assert got == want
+    some = sorted(
+        tuple(r)
+        for r in decode_postings(spark, store, ["spark", "join", "zzz"]).collect()
+    )
+    assert some == [r for r in want if r[0] in ("spark", "join")]
+    assert decode_postings(spark, store, ["zzz"]).count() == 0
+
+
+def test_boolean_weighted_from_store_match_index(spark, corpus, tmp_path):
+    """Store-served boolean/weighted == raw-index path, before AND
+    after live deletes (vs a clean rebuild without the docs)."""
+    from fornax_spark.fulltext.deletes import delete_docs
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import (
+        search_boolean_segments,
+        search_weighted_segments,
+    )
+
+    docs, idx = corpus
+    store = build_segments(spark, idx, str(tmp_path / "st"), n_buckets=8)
+    kw = dict(should="spark join", must="table", must_not="row", k=12)
+    a = search_boolean_segments(spark, store, **kw).collect()
+    b = search_boolean(spark, idx, **kw).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    wts = {"spark": 1.0, "join": 0.5}
+    aw = search_weighted_segments(spark, store, wts, k=12).collect()
+    bw = search_weighted(spark, idx, wts, k=12).collect()
+    assert [tuple(r) for r in aw] == [tuple(r) for r in bw]
+
+    # live deletes: kill the current top-2 boolean hits, compare against
+    # a clean rebuild over the survivors
+    dead = [r["doc_id"] for r in a[:2]]
+    delete_docs(spark, store, dead)
+    surv = [(d, t) for d, t in docs if d not in set(dead)]
+    idx2 = build_index_from_table(
+        spark.createDataFrame(surv, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    a2 = search_boolean_segments(spark, store, **kw).collect()
+    b2 = search_boolean(spark, idx2, **kw).collect()
+    assert [(r["rank"], r["doc_id"]) for r in a2] == [
+        (r["rank"], r["doc_id"]) for r in b2
+    ]
+    for ra, rb in zip(a2, b2):
+        assert abs(ra["score"] - rb["score"]) < 1e-9
+    aw2 = search_weighted_segments(spark, store, wts, k=12).collect()
+    bw2 = search_weighted(spark, idx2, wts, k=12).collect()
+    assert [(r["rank"], r["doc_id"]) for r in aw2] == [
+        (r["rank"], r["doc_id"]) for r in bw2
+    ]
+    for ra, rb in zip(aw2, bw2):
+        assert abs(ra["score"] - rb["score"]) < 1e-9
