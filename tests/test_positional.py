@@ -394,3 +394,81 @@ def test_positional_add_docs_validation(spark, tmp_path):
     st.delete_docs(spark, [999])
     st.delete_docs(spark, [])
     assert st.n_docs == 2
+
+
+def test_streamed_positional_equals_batch(spark, tmp_path):
+    """Structured Streaming -> positional store: a readStream over the
+    pages directory feeds foreachBatch, whose sink creates the store on
+    the first non-empty batch and add_docs()es every later one. The
+    resulting store must equal a batch-built store over the same pages
+    (stats exactly, phrase/proximity/BM25 results bit-for-bit)."""
+    from pyspark.sql import functions as SF
+
+    from fornax_spark.fulltext.corpus import generate_pages, pages_to_spark
+    from fornax_spark.fulltext.positional import (
+        open_positional_store,
+        write_positional_store,
+    )
+
+    pages = generate_pages(200, seed=53)
+    full = pages_to_spark(spark, pages, partitions=4)
+    pdir = str(tmp_path / "pages")
+    spath = str(tmp_path / "stream_store")
+    bpath = str(tmp_path / "batch_store")
+
+    state: dict = {}
+
+    def sink(batch_df, batch_id):
+        docs = batch_df.select(
+            SF.xxhash64("url").alias("doc_id"), "text"
+        )
+        if docs.isEmpty():
+            return
+        if "store" not in state:
+            state["store"] = write_positional_store(
+                spark, docs, spath, n_partitions=4
+            )
+        else:
+            state["store"].add_docs(spark, docs)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(pdir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pages_to_spark(spark, pages[:120], partitions=2).write.mode(
+        "append"
+    ).parquet(pdir)
+    run_stream()
+    pages_to_spark(spark, pages[120:], partitions=2).write.mode(
+        "append"
+    ).parquet(pdir)
+    run_stream()
+
+    assert len(state["store"].generations) > 1  # really incremental
+    streamed = open_positional_store(spath)
+    batch = write_positional_store(
+        spark,
+        full.select(SF.xxhash64("url").alias("doc_id"), "text"),
+        bpath,
+        n_partitions=4,
+    )
+    assert (streamed.n_docs, streamed.total_dl) == (
+        batch.n_docs,
+        batch.total_dl,
+    )
+    assert streamed.avgdl == batch.avgdl
+    for q, g in [("term00001 term00500", 3), ("term00002", 1)]:
+        a = streamed.phrase_topk(spark, q, k=8, max_gap=g).collect()
+        b = batch.phrase_topk(spark, q, k=8, max_gap=g).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        a2 = streamed.phrase_bm25_topk(spark, q, k=8, max_gap=g).collect()
+        b2 = batch.phrase_bm25_topk(spark, q, k=8, max_gap=g).collect()
+        assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
