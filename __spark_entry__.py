@@ -563,6 +563,20 @@ def q_ft_bm25_topk_boolean_segments(
     )
 
 
+def q_ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search facets: lang counts over FT_QUERY's full any-term match
+    set (query.facet_counts) -> (lang, n_docs)."""
+    from fornax_spark.fulltext.query import facet_counts
+
+    return facet_counts(
+        spark,
+        _ft_index(spark, sf_dir),
+        _t(spark, sf_dir, "documents"),
+        FT_QUERY,
+        "lang",
+    )
+
+
 def q_ft_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The segment store exported BACK to a postings table
     (wand.decode_postings, full-store form): every blob decode, the
@@ -1229,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_boolean_segments": q_ft_bm25_topk_boolean_segments,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
+        "ft_search_facets": q_ft_search_facets,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1374,6 +1389,15 @@ def oracle_sql() -> dict[str, str]:
     sqls["ft_postings_store"] = sqls["ft_postings"]
     # store-served boolean search: decode + tombstone-shifted stats
     sqls["ft_bm25_topk_boolean_segments"] = sqls["ft_bm25_topk_boolean"]
+
+    # search facets: lang counts over the query's any-term match set
+    _facet_terms = ", ".join(f"'{t}'" for t in sorted(set(FT_QUERY.split())))
+    sqls["ft_search_facets"] = f"""
+        SELECT lang, count(*)::BIGINT AS n_docs
+        FROM documents
+        WHERE len(list_intersect({TOKENS_SQL}, [{_facet_terms}])) > 0
+        GROUP BY 1
+    """
 
     sqls["ft_term_stats"] = f"""
         SELECT term, count(*)::BIGINT AS df FROM (

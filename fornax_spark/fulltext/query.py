@@ -252,5 +252,37 @@ def search_weighted(
     ).select("rank", "doc_id", "score")
 
 
+def facet_counts(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    docs: DataFrame,
+    query_text: str,
+    facet_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Facet counts over a query's FULL match set (any-term match, the
+    standard search-facet contract): -> (facet_col, n_docs).
+
+    Scale shape: the postings term filter is pushed to the scan; the
+    distinct match set and the join back to `docs` shuffle only
+    matching doc_ids plus the one facet column, never text. The facet
+    rollup itself is a map-side-combined groupBy over a low-cardinality
+    key."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
+    matched = (
+        idx.postings.filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), facet_col)
+        .join(matched, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -214,3 +214,31 @@ def test_boolean_weighted_from_store_match_index(spark, corpus, tmp_path):
     ]
     for ra, rb in zip(aw2, bw2):
         assert abs(ra["score"] - rb["score"]) < 1e-9
+
+
+def test_facet_counts_equals_reference(spark):
+    """Facets over the full any-term match set vs a literal Python
+    reference, including the empty-query and OOV cases."""
+    from fornax_spark.fulltext.query import facet_counts
+
+    rng = random.Random(61)
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(VOCAB) for _ in range(rng.randint(0, 20))),
+            rng.choice(["en", "de", "fr"]),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    idx = build_index_from_table(df, "doc_id", "text")
+    for q in ["spark join", "window", "zzz", ""]:
+        terms = set(tokenize(q))
+        want = {}
+        for _, text, lang in [d for d in docs if terms & set(tokenize(d[1]))]:
+            want[lang] = want.get(lang, 0) + 1
+        got = {
+            r["lang"]: r["n_docs"]
+            for r in facet_counts(spark, idx, df, q, "lang").collect()
+        }
+        assert got == want
