@@ -986,6 +986,62 @@ class CorpusHandle:
             self.conn.spark, self._store(), queries_pdf
         )
 
+    def search_boolean(
+        self,
+        should: str = "",
+        must: str = "",
+        must_not: str = "",
+        k: int = 10,
+    ) -> DataFrame:
+        """Boolean-filtered BM25 (MUST/SHOULD/MUST_NOT, Lucene
+        contract) served from this corpus's store — postings via
+        wand.decode_postings with tombstone-shifted stats, equal to the
+        raw-index path over the surviving documents."""
+        from .fulltext.wand import search_boolean_segments
+
+        return search_boolean_segments(
+            self.conn.spark,
+            self._store(),
+            should=should,
+            must=must,
+            must_not=must_not,
+            k=k,
+        )
+
+    def search_weighted(
+        self, weights: dict[str, float], k: int = 10
+    ) -> DataFrame:
+        """Term-weighted BM25 (weights in (0, 1], the reference's match
+        weight contract) served from this corpus's store."""
+        from .fulltext.wand import search_weighted_segments
+
+        return search_weighted_segments(
+            self.conn.spark, self._store(), weights, k=k
+        )
+
+    def facets(
+        self, query_text: str, docs: DataFrame, facet_col: str,
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Facet counts over the query's any-term match set, joining the
+        store's matches back to a caller-provided docs table:
+        (facet_col, n_docs)."""
+        from types import SimpleNamespace
+
+        from .fulltext.query import facet_counts
+        from .fulltext.textproc import tokenize
+        from .fulltext.wand import decode_postings
+
+        store = self._store()
+        terms = sorted(set(tokenize(query_text)))
+        idx = SimpleNamespace(
+            postings=decode_postings(self.conn.spark, store, terms)
+        )
+        return facet_counts(
+            self.conn.spark, idx, docs, query_text, facet_col,
+            id_col=id_col,
+        )
+
     def delete_docs(self, doc_ids: list[int]) -> None:
         """Live delete with exact shifted stats (fulltext/deletes.py):
         queries mask the tombstoned docs immediately; a later

@@ -680,3 +680,46 @@ def test_corpus_add_docs_facade(spark, conn):
     got = {r["doc_id"] for r in c.search("replacement", k=3).collect()}
     assert got == {5}
     c.delete()
+
+
+def test_corpus_boolean_weighted_facets_verbs(spark, conn, tmp_path):
+    """The r7 serving verbs through the facade: search_boolean /
+    search_weighted / facets on a CorpusHandle equal the raw-index
+    paths, including from the published bucketed form."""
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.query import (
+        facet_counts,
+        search_boolean,
+        search_weighted,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta tok{i % 17} tok{i % 5}", ["en", "de"][i % 2])
+            for i in range(200)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    c = conn.create_corpus("bw")
+    c.build(docs, n_buckets=8)
+    idx = build_index_from_table(docs)
+    kw = dict(should="alpha tok3", must="tok0", must_not="tok4", k=9)
+    want_b = [tuple(r) for r in search_boolean(spark, idx, **kw).collect()]
+    wts = {"alpha": 1.0, "tok3": 0.5}
+    want_w = [tuple(r) for r in search_weighted(spark, idx, wts, k=9).collect()]
+    want_f = sorted(
+        tuple(r)
+        for r in facet_counts(spark, idx, docs, "alpha tok3", "lang").collect()
+    )
+    assert [tuple(r) for r in c.search_boolean(**kw).collect()] == want_b
+    assert [tuple(r) for r in c.search_weighted(wts, k=9).collect()] == want_w
+    assert (
+        sorted(tuple(r) for r in c.facets("alpha tok3", docs, "lang").collect())
+        == want_f
+    )
+    # published bucketed form serves the same answers (decode_postings
+    # runs over BucketedSegmentStore.blocks)
+    c.publish_bucketed("bw_bool_tbl")
+    assert [tuple(r) for r in c.search_boolean(**kw).collect()] == want_b
+    assert [tuple(r) for r in c.search_weighted(wts, k=9).collect()] == want_w
+    idx.postings.unpersist()

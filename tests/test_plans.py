@@ -201,3 +201,23 @@ def test_batch_search_rejects_duplicate_query_ids(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate query_id 7"):
         search_segments_batch(spark, store, qpdf)
     idx.postings.unpersist()
+
+
+def test_decode_postings_pushes_term_filter(spark, tmp_path):
+    """decode_postings' term-pruned form must reach the parquet scan as
+    a pushed term_id IN filter (row-group pruning on the sorted
+    layout), and the full-store form must not shuffle the blocks before
+    the decode kernel."""
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import decode_postings
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 13}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_table(docs)
+    store = build_segments(spark, idx, str(tmp_path / "seg"), n_buckets=4)
+    plan = decode_postings(spark, store, ["alpha", "tok3"])._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term_id" in plan
+    idx.postings.unpersist()
