@@ -563,6 +563,18 @@ def q_ft_bm25_topk_boolean_segments(
     )
 
 
+def q_ft_min_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet selection: smallest token window covering all FT_QUERY
+    terms per doc, top-k by (win_len ASC, doc_id ASC)
+    (positional.min_window_topk — an O(n·k) last-seen sweep run as one
+    Tungsten fold per candidate doc)."""
+    from fornax_spark.fulltext.positional import min_window_topk
+
+    return min_window_topk(
+        spark, _ft_positional(spark, sf_dir), FT_QUERY, k=FT_K
+    )
+
+
 def q_ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search facets: lang counts over FT_QUERY's full any-term match
     set (query.facet_counts) -> (lang, n_docs)."""
@@ -1244,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
+        "ft_min_window_topk": q_ft_min_window_topk,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1389,6 +1402,49 @@ def oracle_sql() -> dict[str, str]:
     sqls["ft_postings_store"] = sqls["ft_postings"]
     # store-served boolean search: decode + tombstone-shifted stats
     sqls["ft_bm25_topk_boolean_segments"] = sqls["ft_bm25_topk_boolean"]
+
+    # minimal covering window (snippet selection): for each endpoint e
+    # (any occurrence of any query term), the best window ending at e is
+    # [min over terms of max(pos <= e), e]; the doc's window is the
+    # smallest over endpoints with ties to the EARLIEST endpoint — the
+    # exact contract of the engine's strictly-smaller fold update
+    _mw_terms = ", ".join(f"'{t}'" for t in sorted(set(FT_QUERY.split())))
+    _mw_n = len(set(FT_QUERY.split()))
+    sqls["ft_min_window_topk"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, term, pos FROM (
+            SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS pos
+            FROM d
+          ) WHERE term IN ({_mw_terms})
+        ), ends AS (
+          SELECT DISTINCT doc_id, pos AS e FROM tok
+        ), last AS (
+          SELECT ends.doc_id, ends.e, tok.term, max(tok.pos) AS lp
+          FROM ends JOIN tok
+            ON tok.doc_id = ends.doc_id AND tok.pos <= ends.e
+          GROUP BY 1, 2, 3
+        ), win AS (
+          SELECT doc_id, e, min(lp) AS s, count(*) AS nt
+          FROM last GROUP BY 1, 2
+        ), best AS (
+          SELECT doc_id, s AS win_start, e AS win_end,
+                 (e - s + 1) AS win_len,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY (e - s + 1) ASC, e ASC) AS rn
+          FROM win WHERE nt = {_mw_n}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY win_len ASC, doc_id ASC)
+                    AS INT) AS rank,
+               doc_id, CAST(win_start AS INT) AS win_start,
+               CAST(win_end AS INT) AS win_end,
+               CAST(win_len AS INT) AS win_len
+        FROM best WHERE rn = 1
+        ORDER BY win_len ASC, doc_id ASC LIMIT {FT_K}
+    """
 
     # search facets: lang counts over the query's any-term match set
     _facet_terms = ", ".join(f"'{t}'" for t in sorted(set(FT_QUERY.split())))

@@ -263,6 +263,107 @@ def phrase_topk_batch(
     )
 
 
+def min_window_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    query_text: str,
+    k: int = 10,
+) -> DataFrame:
+    """Snippet/passage selection: for every doc containing ALL query
+    terms, the SMALLEST token window [win_start, win_end] (1-based,
+    inclusive) covering at least one occurrence of every distinct term
+    -> top-k by (win_len ASC, doc_id ASC), rank attached.
+
+    The classic O(n·k) sweep, run entirely as a Tungsten fold: merge
+    the per-term position arrays into one pos-ascending array of
+    (pos, tid) structs, then F.aggregate an accumulator holding the
+    last-seen position per term plus the best window so far — at each
+    element the candidate window is [min(last_seen), pos], and only a
+    STRICTLY smaller length replaces the best (ties keep the earliest
+    endpoint — the contract the DuckDB oracle mirrors with
+    ORDER BY len, end). Work per doc is bounded by that doc's query-
+    term occurrences, never corpus size; the candidate set is docs
+    containing all terms, the same pushed-filter + one-shuffle shape
+    as phrase_match.
+    """
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "rank int, doc_id long, win_start int, win_end int, win_len int",
+        )
+    cand = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap")
+        )
+        .filter(F.size(F.map_keys(F.col("pmap"))) == len(terms))
+    )
+    def _tag(tid: int):
+        # NB: must be a ONE-arg lambda — F.transform dispatches on arity
+        # and a two-arg lambda would receive the array index as its
+        # second argument (shadowing a default-bound tid)
+        return lambda p: F.struct(p.alias("pos"), F.lit(tid).alias("tid"))
+
+    merged = F.sort_array(
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(F.element_at(F.col("pmap"), t), _tag(i))
+                    for i, t in enumerate(terms)
+                ]
+            )
+        )
+    )
+    sentinel = 1 << 30
+
+    def step(acc, x):
+        new_last = F.transform(
+            acc["last"],
+            lambda v, i: F.when(i == x["tid"], x["pos"]).otherwise(v),
+        )
+        s = F.array_min(new_last)
+        ln = x["pos"] - s + F.lit(1)
+        better = ~F.array_contains(new_last, F.lit(-1)) & (
+            ln < acc["best_len"]
+        )
+        return F.struct(
+            new_last.alias("last"),
+            F.when(better, ln).otherwise(acc["best_len"]).alias("best_len"),
+            F.when(better, s).otherwise(acc["best_s"]).alias("best_s"),
+            F.when(better, x["pos"]).otherwise(acc["best_e"]).alias("best_e"),
+        )
+
+    init = F.struct(
+        F.array_repeat(F.lit(-1), len(terms)).alias("last"),
+        F.lit(sentinel).alias("best_len"),
+        F.lit(-1).alias("best_s"),
+        F.lit(-1).alias("best_e"),
+    )
+    best = cand.select(
+        "doc_id", F.aggregate(merged, init, step).alias("acc")
+    ).select(
+        "doc_id",
+        F.col("acc.best_s").alias("win_start"),
+        F.col("acc.best_e").alias("win_end"),
+        F.col("acc.best_len").alias("win_len"),
+    )
+    topk = best.orderBy(
+        F.col("win_len").asc(), F.col("doc_id").asc()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    # UNPARTITIONED window — safe ONLY on the k-row limit() output
+    assert k <= 10_000, f"rank window is single-partition; k={k} too large"
+    w = Window.orderBy(F.col("win_len").asc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "doc_id", "win_start", "win_end", "win_len")
+
+
 class PositionalStore:
     """Durable positional index: the positional postings written as
     term-range-partitioned, (term, doc_id)-sorted parquet.
@@ -515,6 +616,11 @@ class PositionalStore:
             k=k,
             max_gap=max_gap,
         )
+
+    def min_window_topk(
+        self, spark: SparkSession, query_text: str, k: int = 10
+    ) -> DataFrame:
+        return min_window_topk(spark, self.postings(spark), query_text, k=k)
 
 
 def write_positional_store(

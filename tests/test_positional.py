@@ -472,3 +472,72 @@ def test_streamed_positional_equals_batch(spark, tmp_path):
         a2 = streamed.phrase_bm25_topk(spark, q, k=8, max_gap=g).collect()
         b2 = batch.phrase_bm25_topk(spark, q, k=8, max_gap=g).collect()
         assert [tuple(r) for r in a2] == [tuple(r) for r in b2]
+
+
+def _ref_min_window(docs, terms):
+    """Literal transcription: smallest window covering all terms; ties
+    keep the earliest endpoint."""
+    tset = sorted(set(terms))
+    res = {}
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        pos = {t: [i for i, x in enumerate(toks, 1) if x == t] for t in tset}
+        if any(not v for v in pos.values()):
+            continue
+        merged = sorted(
+            (p, i) for i, t in enumerate(tset) for p in pos[t]
+        )
+        last = [-1] * len(tset)
+        best = (1 << 30, -1, -1)
+        for p, tid in merged:
+            last[tid] = p
+            if -1 not in last:
+                s = min(last)
+                ln = p - s + 1
+                if ln < best[0]:
+                    best = (ln, s, p)
+        res[doc_id] = best
+    return res
+
+
+@pytest.mark.parametrize(
+    "query", ["spark join", "table hash scan", "window", "join join spark"]
+)
+def test_min_window_equals_reference(spark, query):
+    from fornax_spark.fulltext.positional import min_window_topk
+
+    docs = _mk_docs(350, seed=67)
+    ref = _ref_min_window(docs, tokenize(query))
+    want = sorted(
+        ((ln, d, s, e) for d, (ln, s, e) in ref.items())
+    )[:15]
+    got = [
+        (r["win_len"], r["doc_id"], r["win_start"], r["win_end"])
+        for r in min_window_topk(
+            spark, _postings(spark, docs), query, k=15
+        ).collect()
+    ]
+    assert got == [(ln, d, s, e) for ln, d, s, e in want]
+
+
+def test_min_window_store_and_edge_cases(spark, tmp_path):
+    from fornax_spark.fulltext.positional import (
+        min_window_topk,
+        write_positional_store,
+    )
+
+    docs = [(1, "spark a b join"), (2, "join spark"), (3, "spark only")]
+    p = _postings(spark, docs)
+    rows = {r["doc_id"]: tuple(r) for r in min_window_topk(spark, p, "spark join", k=5).collect()}
+    # doc 2: [join, spark] covers both in 2 tokens; doc 1 needs 4
+    assert rows[2][2:] == (1, 2, 2) and rows[1][2:] == (1, 4, 4)
+    assert 3 not in rows  # missing a term
+    assert min_window_topk(spark, p, "", k=5).count() == 0
+    assert min_window_topk(spark, p, "zzz spark", k=5).count() == 0
+    st = write_positional_store(
+        spark, spark.createDataFrame(docs, "doc_id long, text string"),
+        str(tmp_path / "st"), n_partitions=2,
+    )
+    a = [tuple(r) for r in st.min_window_topk(spark, "spark join", k=5).collect()]
+    b = [tuple(r) for r in min_window_topk(spark, p, "spark join", k=5).collect()]
+    assert a == b
