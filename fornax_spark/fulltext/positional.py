@@ -263,49 +263,26 @@ def phrase_topk_batch(
     )
 
 
-def min_window_topk(
-    spark: SparkSession,
-    postings: DataFrame,
-    query_text: str,
-    k: int = 10,
-) -> DataFrame:
-    """Snippet/passage selection: for every doc containing ALL query
-    terms, the SMALLEST token window [win_start, win_end] (1-based,
-    inclusive) covering at least one occurrence of every distinct term
-    -> top-k by (win_len ASC, doc_id ASC), rank attached.
+def _min_window_best(terms: list[str]) -> Column:
+    """The minimal-covering-window sweep as one Tungsten F.aggregate
+    over a pmap column: merge the per-term position arrays into a
+    pos-ascending (pos, tid) array, fold an accumulator holding the
+    last-seen position per term (SCALAR struct fields l0..l{k-1}, not
+    an array -- rebuilding a k-array per element via F.transform
+    measured 25.2 vs 21.2 s p50 on the 600k-doc 3-head-term sweep;
+    the dominant cost is the candidate pmap construction itself, which
+    the page-scoped min_window_for_docs avoids entirely, 0.57 s on the
+    same corpus) plus the best window so far. At
+    each element the candidate window is [min(last_seen), pos]; only a
+    STRICTLY smaller length replaces the best, so ties keep the
+    earliest endpoint (the contract the DuckDB oracle mirrors with
+    ORDER BY len, end). Returns struct(best_s, best_e, best_len)."""
+    n = len(terms)
 
-    The classic O(n·k) sweep, run entirely as a Tungsten fold: merge
-    the per-term position arrays into one pos-ascending array of
-    (pos, tid) structs, then F.aggregate an accumulator holding the
-    last-seen position per term plus the best window so far — at each
-    element the candidate window is [min(last_seen), pos], and only a
-    STRICTLY smaller length replaces the best (ties keep the earliest
-    endpoint — the contract the DuckDB oracle mirrors with
-    ORDER BY len, end). Work per doc is bounded by that doc's query-
-    term occurrences, never corpus size; the candidate set is docs
-    containing all terms, the same pushed-filter + one-shuffle shape
-    as phrase_match.
-    """
-    terms = sorted(set(tokenize(query_text)))
-    if not terms:
-        return spark.createDataFrame(
-            [],
-            "rank int, doc_id long, win_start int, win_end int, win_len int",
-        )
-    cand = (
-        postings.filter(F.col("term").isin(terms))
-        .groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))
-            ).alias("pmap")
-        )
-        .filter(F.size(F.map_keys(F.col("pmap"))) == len(terms))
-    )
     def _tag(tid: int):
-        # NB: must be a ONE-arg lambda — F.transform dispatches on arity
-        # and a two-arg lambda would receive the array index as its
-        # second argument (shadowing a default-bound tid)
+        # NB: must be a ONE-arg lambda -- F.transform dispatches on
+        # lambda arity, and a two-arg lambda would receive the array
+        # index as its second argument (shadowing a default-bound tid)
         return lambda p: F.struct(p.alias("pos"), F.lit(tid).alias("tid"))
 
     merged = F.sort_array(
@@ -321,47 +298,123 @@ def min_window_topk(
     sentinel = 1 << 30
 
     def step(acc, x):
-        new_last = F.transform(
-            acc["last"],
-            lambda v, i: F.when(i == x["tid"], x["pos"]).otherwise(v),
-        )
-        s = F.array_min(new_last)
+        new_last = [
+            F.when(x["tid"] == i, x["pos"]).otherwise(acc[f"l{i}"])
+            for i in range(n)
+        ]
+        s = F.least(*new_last) if n > 1 else new_last[0]
+        complete = new_last[0] != F.lit(-1)
+        for nl in new_last[1:]:
+            complete = complete & (nl != F.lit(-1))
         ln = x["pos"] - s + F.lit(1)
-        better = ~F.array_contains(new_last, F.lit(-1)) & (
-            ln < acc["best_len"]
-        )
+        better = complete & (ln < acc["best_len"])
         return F.struct(
-            new_last.alias("last"),
+            *[nl.alias(f"l{i}") for i, nl in enumerate(new_last)],
             F.when(better, ln).otherwise(acc["best_len"]).alias("best_len"),
             F.when(better, s).otherwise(acc["best_s"]).alias("best_s"),
             F.when(better, x["pos"]).otherwise(acc["best_e"]).alias("best_e"),
         )
 
     init = F.struct(
-        F.array_repeat(F.lit(-1), len(terms)).alias("last"),
+        *[F.lit(-1).alias(f"l{i}") for i in range(n)],
         F.lit(sentinel).alias("best_len"),
         F.lit(-1).alias("best_s"),
         F.lit(-1).alias("best_e"),
     )
-    best = cand.select(
-        "doc_id", F.aggregate(merged, init, step).alias("acc")
+    return F.aggregate(merged, init, step)
+
+
+def _min_window_candidates(
+    postings: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Docs containing ALL terms -> (doc_id, pmap); the same pushed
+    term filter + one near-unique-key shuffle shape as phrase_match."""
+    return (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pmap")
+        )
+        .filter(F.size(F.map_keys(F.col("pmap"))) == len(terms))
+    )
+
+
+def _min_window_select(cand: DataFrame, terms: list[str]) -> DataFrame:
+    return cand.select(
+        "doc_id", _min_window_best(terms).alias("acc")
     ).select(
         "doc_id",
         F.col("acc.best_s").alias("win_start"),
         F.col("acc.best_e").alias("win_end"),
         F.col("acc.best_len").alias("win_len"),
     )
+
+
+def min_window_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    query_text: str,
+    k: int = 10,
+) -> DataFrame:
+    """Proximity ranking by snippet window: for EVERY doc containing
+    ALL query terms, the SMALLEST token window [win_start, win_end]
+    (1-based, inclusive) covering at least one occurrence of every
+    distinct term -> top-k by (win_len ASC, doc_id ASC), rank attached.
+
+    This is the corpus-wide form (it ranks BY window length, so every
+    candidate doc runs the sweep; work per doc is bounded by that doc's
+    query-term occurrences). For the serving pattern -- snippets for an
+    already-ranked result page -- use min_window_for_docs, which scopes
+    the sweep to the page's docs and costs O(page), never O(corpus).
+    """
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "rank int, doc_id long, win_start int, win_end int, win_len int",
+        )
+    best = _min_window_select(
+        _min_window_candidates(postings, terms), terms
+    )
     topk = best.orderBy(
         F.col("win_len").asc(), F.col("doc_id").asc()
     ).limit(k)
     from pyspark.sql import Window
 
-    # UNPARTITIONED window — safe ONLY on the k-row limit() output
+    # UNPARTITIONED window -- safe ONLY on the k-row limit() output
     assert k <= 10_000, f"rank window is single-partition; k={k} too large"
     w = Window.orderBy(F.col("win_len").asc(), F.col("doc_id").asc())
     return topk.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select("rank", "doc_id", "win_start", "win_end", "win_len")
+
+
+def min_window_for_docs(
+    spark: SparkSession,
+    postings: DataFrame,
+    query_text: str,
+    doc_ids: list[int],
+) -> DataFrame:
+    """Snippet windows for an ALREADY-RANKED result page: the same
+    minimal-covering-window sweep, scoped to `doc_ids` (the k docs a
+    BM25 query returned) -> (doc_id, win_start, win_end, win_len);
+    docs missing a term (or unknown ids) are absent from the result.
+
+    This is the scalable serving shape -- snippet cost is O(result
+    page), never O(corpus): the doc_id filter composes with the pushed
+    term filter so only the page's postings rows leave the scan."""
+    terms = sorted(set(tokenize(query_text)))
+    ids = sorted(set(int(i) for i in doc_ids))
+    if not terms or not ids:
+        return spark.createDataFrame(
+            [], "doc_id long, win_start int, win_end int, win_len int"
+        )
+    cand = _min_window_candidates(
+        postings.filter(F.col("doc_id").isin(ids)), terms
+    )
+    return _min_window_select(cand, terms).orderBy("doc_id")
 
 
 class PositionalStore:
@@ -621,6 +674,13 @@ class PositionalStore:
         self, spark: SparkSession, query_text: str, k: int = 10
     ) -> DataFrame:
         return min_window_topk(spark, self.postings(spark), query_text, k=k)
+
+    def min_window_for_docs(
+        self, spark: SparkSession, query_text: str, doc_ids: list[int]
+    ) -> DataFrame:
+        return min_window_for_docs(
+            spark, self.postings(spark), query_text, doc_ids
+        )
 
 
 def write_positional_store(

@@ -541,3 +541,37 @@ def test_min_window_store_and_edge_cases(spark, tmp_path):
     a = [tuple(r) for r in st.min_window_topk(spark, "spark join", k=5).collect()]
     b = [tuple(r) for r in min_window_topk(spark, p, "spark join", k=5).collect()]
     assert a == b
+
+
+def test_min_window_for_docs_matches_topk(spark, tmp_path):
+    """Page-scoped snippets == the corpus-wide sweep restricted to the
+    same doc_ids; unknown ids and docs missing a term are absent."""
+    from fornax_spark.fulltext.positional import (
+        min_window_for_docs,
+        min_window_topk,
+        write_positional_store,
+    )
+
+    docs = _mk_docs(300, seed=71)
+    p = _postings(spark, docs)
+    top = min_window_topk(spark, p, "spark join", k=8).collect()
+    ids = [r["doc_id"] for r in top]
+    page = min_window_for_docs(
+        spark, p, "spark join", ids + [999_999]
+    ).collect()
+    assert sorted(
+        (r["doc_id"], r["win_start"], r["win_end"], r["win_len"])
+        for r in page
+    ) == sorted(
+        (r["doc_id"], r["win_start"], r["win_end"], r["win_len"])
+        for r in top
+    )
+    assert min_window_for_docs(spark, p, "spark join", []).count() == 0
+    # store method parity
+    st = write_positional_store(
+        spark, spark.createDataFrame(docs, "doc_id long, text string"),
+        str(tmp_path / "st"), n_partitions=2,
+    )
+    a = [tuple(r) for r in st.min_window_for_docs(spark, "spark join", ids).collect()]
+    b = [tuple(r) for r in min_window_for_docs(spark, p, "spark join", ids).collect()]
+    assert a == b
