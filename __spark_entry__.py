@@ -575,6 +575,33 @@ def q_ft_min_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked result page WITH snippet text: min-window top-k for
+    FT_QUERY, each doc's window padded by 3 tokens and sliced from its
+    own token stream (positional.snippets_for_docs — O(page) text
+    work) -> (rank, doc_id, snippet)."""
+    from fornax_spark.fulltext.positional import (
+        min_window_topk,
+        snippets_for_docs,
+    )
+
+    p = _ft_positional(spark, sf_dir)
+    top = min_window_topk(spark, p, FT_QUERY, k=FT_K).collect()
+    ids = [int(r["doc_id"]) for r in top]
+    rdf = spark.createDataFrame(
+        [(int(r["doc_id"]), int(r["rank"])) for r in top],
+        "doc_id long, rank int",
+    )
+    sn = snippets_for_docs(
+        spark, p, _t(spark, sf_dir, "documents"), FT_QUERY, ids, pad=3
+    )
+    return (
+        sn.join(F.broadcast(rdf), "doc_id")
+        .select("rank", "doc_id", "snippet")
+        .orderBy("rank")
+    )
+
+
 def q_ft_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search facets: lang counts over FT_QUERY's full any-term match
     set (query.facet_counts) -> (lang, n_docs)."""
@@ -1257,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
         "ft_min_window_topk": q_ft_min_window_topk,
+        "ft_snippets": q_ft_snippets,
         "ft_postings": q_ft_postings,
         "ft_term_stats": q_ft_term_stats,
         "ft_doc_stats": q_ft_doc_stats,
@@ -1444,6 +1472,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(win_len AS INT) AS win_len
         FROM best WHERE rn = 1
         ORDER BY win_len ASC, doc_id ASC LIMIT {FT_K}
+    """
+
+    # ranked snippets: the min-window top-k joined back to the page
+    # docs' token streams, padded slice of 3 tokens each side
+    sqls["ft_snippets"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, term, pos FROM (
+            SELECT doc_id, unnest(toks) AS term,
+                   generate_subscripts(toks, 1) AS pos
+            FROM d
+          ) WHERE term IN ({_mw_terms})
+        ), ends AS (
+          SELECT DISTINCT doc_id, pos AS e FROM tok
+        ), last AS (
+          SELECT ends.doc_id, ends.e, tok.term, max(tok.pos) AS lp
+          FROM ends JOIN tok
+            ON tok.doc_id = ends.doc_id AND tok.pos <= ends.e
+          GROUP BY 1, 2, 3
+        ), win AS (
+          SELECT doc_id, e, min(lp) AS s, count(*) AS nt
+          FROM last GROUP BY 1, 2
+        ), best AS (
+          SELECT doc_id, s AS win_start, e AS win_end,
+                 (e - s + 1) AS win_len,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY (e - s + 1) ASC, e ASC) AS rn
+          FROM win WHERE nt = {_mw_n}
+        ), page AS (
+          SELECT CAST(row_number() OVER (ORDER BY win_len ASC, doc_id ASC)
+                      AS INT) AS rank, doc_id, win_start, win_end
+          FROM best WHERE rn = 1
+          ORDER BY win_len ASC, doc_id ASC LIMIT {FT_K}
+        )
+        SELECT p.rank, p.doc_id,
+               array_to_string(
+                 list_slice(d.toks,
+                            greatest(1, p.win_start - 3),
+                            least(len(d.toks), p.win_end + 3)),
+                 ' ') AS snippet
+        FROM page p JOIN d USING (doc_id)
+        ORDER BY p.rank
     """
 
     # search facets: lang counts over the query's any-term match set

@@ -832,3 +832,54 @@ def phrase_topk(
     return topk.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).select("rank", "doc_id", "phrase_tf")
+
+
+def snippets_for_docs(
+    spark: SparkSession,
+    postings: DataFrame,
+    docs: DataFrame,
+    query_text: str,
+    doc_ids: list[int],
+    pad: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snippet TEXT for an already-ranked result page: the minimal
+    covering window per doc (min_window_for_docs), padded by `pad`
+    tokens each side and sliced from the document's own token stream ->
+    (doc_id, win_start, win_end, win_len, snippet).
+
+    Everything stays JVM-side: the tokenizer is the same [a-z0-9]+
+    regex as textproc.tokenize, run as F.regexp_extract_all over ONLY
+    the page's docs (O(page) text, never corpus), and the slice/join
+    are array expressions. Positions are 1-based token indices, so the
+    slice maps directly onto the window's [win_start, win_end]."""
+    win = min_window_for_docs(spark, postings, query_text, doc_ids)
+    ids = sorted(set(int(i) for i in doc_ids))
+    if not ids:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, win_start int, win_end int, win_len int, "
+            "snippet string",
+        )
+    page = docs.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("toks"),
+    )
+    s = F.greatest(F.lit(1), F.col("win_start") - F.lit(pad))
+    e = F.least(F.size("toks"), F.col("win_end") + F.lit(pad))
+    return (
+        win.join(page, "doc_id")
+        .select(
+            "doc_id",
+            "win_start",
+            "win_end",
+            "win_len",
+            F.array_join(
+                F.slice(F.col("toks"), s, e - s + F.lit(1)), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )

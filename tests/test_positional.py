@@ -575,3 +575,33 @@ def test_min_window_for_docs_matches_topk(spark, tmp_path):
     a = [tuple(r) for r in st.min_window_for_docs(spark, "spark join", ids).collect()]
     b = [tuple(r) for r in min_window_for_docs(spark, p, "spark join", ids).collect()]
     assert a == b
+
+
+def test_snippets_for_docs_equals_reference(spark):
+    """Snippet text == the padded token slice of the reference min
+    window, for the page's docs only."""
+    from fornax_spark.fulltext.positional import (
+        min_window_topk,
+        snippets_for_docs,
+    )
+
+    docs = _mk_docs(250, seed=73)
+    p = _postings(spark, docs)
+    q = "spark join"
+    top = min_window_topk(spark, p, q, k=6).collect()
+    ids = [r["doc_id"] for r in top]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["win_start"], r["win_end"], r["snippet"])
+        for r in snippets_for_docs(spark, p, df, q, ids, pad=2).collect()
+    }
+    ref = _ref_min_window(docs, tokenize(q))
+    text_by_id = dict(docs)
+    want = {}
+    for d in ids:
+        ln, s, e = ref[d]
+        toks = tokenize(text_by_id[d])
+        s2, e2 = max(1, s - 2), min(len(toks), e + 2)
+        want[d] = (s, e, " ".join(toks[s2 - 1 : e2]))
+    assert got == want
+    assert snippets_for_docs(spark, p, df, q, [], pad=2).count() == 0
