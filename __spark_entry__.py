@@ -541,6 +541,33 @@ def q_ft_bm25_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# batched boolean serving (query.search_boolean_batch): every query's
+# terms share one broadcast + one postings scan; covers must-only,
+# should-only, empty, and absent-must shapes in a single oracle row
+FT_BOOL_BATCH = (
+    {"should": "spark join window", "must": "table", "must_not": "vector"},
+    {"should": "data column", "must_not": "stream"},
+    {"must": "hash scan"},
+    {"should": "merge sort"},
+    {},
+    {"should": "window", "must": "zzzabsent"},
+)
+
+
+def q_ft_bool_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL boolean queries of FT_BOOL_BATCH in ONE plan:
+    (query_id, rank, doc_id, score), rank windowed per query."""
+    from fornax_spark.fulltext.query import search_boolean_batch
+
+    out = search_boolean_batch(
+        spark, _ft_index(spark, sf_dir), list(FT_BOOL_BATCH), k=FT_K
+    )
+    return out.select(
+        "query_id", "rank", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def q_ft_bm25_topk_boolean_segments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1280,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_batch_topk": q_ft_phrase_batch_topk,
         "ft_bm25_topk_boolean": q_ft_bm25_topk_boolean,
         "ft_bm25_topk_boolean_segments": q_ft_bm25_topk_boolean_segments,
+        "ft_bool_batch_topk": q_ft_bool_batch_topk,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
@@ -1381,6 +1409,75 @@ def oracle_sql() -> dict[str, str]:
             AND doc_id NOT IN (SELECT doc_id FROM banned)
           ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
         ) ORDER BY rank
+    """
+
+    # batched boolean: one UNION ALL arm per non-empty query, sharing
+    # corpus-level tf/df CTEs over the union of all scored terms; arm
+    # filters (must-coverage HAVING, NOT IN exclusion) are generated
+    # from the same FT_BOOL_BATCH constants the Spark entry uses
+    from fornax_spark.fulltext.textproc import tokenize as _tok
+
+    _bb_parsed = []
+    for _qid, _q in enumerate(FT_BOOL_BATCH):
+        _m = sorted(set(_tok(_q.get("must", ""))))
+        _s = sorted(set(_tok(_q.get("should", ""))) - set(_m))
+        _bn = sorted(set(_tok(_q.get("must_not", ""))))
+        if _m or _s:
+            _bb_parsed.append((_qid, _m, _s, _bn))
+    _bb_all_scored = sorted({t for _, m, s, _b in _bb_parsed for t in m + s})
+    _bb_arms = []
+    for _qid, _m, _s, _bn in _bb_parsed:
+        ban_sql = (
+            f" AND t.doc_id NOT IN (SELECT doc_id FROM tok "
+            f"WHERE term IN ({_in(_bn)}))"
+            if _bn
+            else ""
+        )
+        having_sql = (
+            f" HAVING count(DISTINCT CASE WHEN t.term IN ({_in(_m)}) "
+            f"THEN t.term END) = {len(_m)}"
+            if _m
+            else ""
+        )
+        _bb_arms.append(
+            f"SELECT {_qid} AS query_id, t.doc_id, sum("
+            f"ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))"
+            f" * t.tf * (1.2 + 1)"
+            f" / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            f") AS score"
+            f" FROM all_tf t JOIN df USING (term) JOIN dl USING (doc_id)"
+            f" CROSS JOIN stats s"
+            f" WHERE t.term IN ({_in(_m + _s)}){ban_sql}"
+            f" GROUP BY 1, 2{having_sql}"
+        )
+    sqls["ft_bool_batch_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), all_tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ({_in(_bb_all_scored)}) GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM all_tf GROUP BY 1
+        ), hits AS (
+          {" UNION ALL ".join(_bb_arms)}
+        )
+        SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+               doc_id, round(score, 4) AS score
+        FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+          FROM hits
+        )
+        WHERE rank <= {FT_K}
+        ORDER BY query_id, rank
     """
 
     _w_terms = sorted(FT_WEIGHTS)

@@ -4,6 +4,13 @@ decode_postings, positional store), with the repo's standard
 host-control hygiene (gated pre control, post samples published).
 
 Usage: python bench/serving_bench.py [--docs N] [--out PATH]
+       [--cores C] [--reps R]
+
+Scaling-pair mode (north rule): run twice on the SAME --docs with
+--cores 2 and --cores 8 (store layout constants — n_buckets=32,
+n_partitions=32 — are fixed so the engine work is identical across
+levels and only the executor slot count changes), then compare p50s:
+efficiency = (t_2 / t_8) / 4.
 
 Phases (one JVM; controls run before it exists / after it stops):
   1. corpus gen (untimed) -> docs(doc_id, text, lang) parquet on /dev/shm
@@ -46,6 +53,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=600_000)
     ap.add_argument("--out", default="bench/serving_bench.json")
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     pre, pre_attempts = gated_control()
@@ -63,7 +72,9 @@ def main() -> None:
     )
     from fornax_spark.session import get_spark
 
-    spark = get_spark("serving-bench", cores=32, shuffle_partitions=32)
+    spark = get_spark(
+        "serving-bench", cores=args.cores, shuffle_partitions=args.cores
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     base = "/dev/shm/fornax_servbench"
@@ -94,7 +105,7 @@ def main() -> None:
         )
         timings["positional_build_secs"] = round(time.time() - t0, 2)
 
-        def run(name: str, fn, reps: int = 5) -> None:
+        def run(name: str, fn, reps: int = args.reps) -> None:
             lat = []
             rows = 0
             for _ in range(reps):
@@ -175,6 +186,7 @@ def main() -> None:
         "metric": "serving_bench",
         "unit": "sec",
         "n_docs": args.docs,
+        "cores": args.cores,
         "host_control": pre,
         "host_control_attempts": pre_attempts,
         "host_control_post": max(post_samples),

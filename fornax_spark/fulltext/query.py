@@ -252,6 +252,99 @@ def search_weighted(
     ).select("rank", "doc_id", "score")
 
 
+def search_boolean_batch(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: list[dict],
+    k: int = 10,
+) -> DataFrame:
+    """ALL boolean queries in ONE plan -> (query_id, rank, doc_id,
+    score). `queries[i]` is {"should": str, "must": str,
+    "must_not": str} (missing keys default to ""); query_id is the
+    list index. Same semantics as search_boolean per query.
+
+    Shape mirrors phrase_match_batch: one broadcast of the exploded
+    (query_id, term, kind) rows against the postings scan (every
+    query's terms share the single pushed term filter), one
+    groupBy(query_id, doc_id) computing must-coverage, banned-ness and
+    the ascending-term score together, and a rank window PARTITIONED
+    by query_id — no single-partition path at any batch size."""
+    rows = []
+    n_must: dict[int, int] = {}
+    any_scored = False
+    for qid, q in enumerate(queries):
+        m = sorted(set(tokenize(q.get("must", ""))))
+        s = sorted(set(tokenize(q.get("should", ""))) - set(m))
+        b = sorted(set(tokenize(q.get("must_not", ""))))
+        if (set(m) | set(s)) & set(b):
+            raise ValueError(
+                f"search_boolean_batch: query {qid} has a term both "
+                "scored and banned"
+            )
+        if not m and not s:
+            continue  # empty query: no rows for this query_id
+        any_scored = True
+        n_must[qid] = len(m)
+        rows += (
+            [(qid, t, "must") for t in m]
+            + [(qid, t, "should") for t in s]
+            + [(qid, t, "must_not") for t in b]
+        )
+    if not any_scored:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qt = F.broadcast(
+        spark.createDataFrame(
+            rows, "query_id int, term string, kind string"
+        )
+    )
+    nm = F.broadcast(
+        spark.createDataFrame(
+            sorted(n_must.items()), "query_id int, n_must int"
+        )
+    )
+    tstats = F.broadcast(
+        idx.term_stats.join(qt.select("term").distinct(), "term", "inner")
+    )
+    cand = (
+        idx.postings.join(qt, "term", "inner")
+        .join(tstats, "term", "inner")
+        .withColumn(
+            "s",
+            _score_udf(idx.stats.n_docs, idx.stats.avgdl)(
+                F.col("tf"), F.col("dl"), F.col("df")
+            ),
+        )
+    )
+    per_doc = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.when(F.col("kind") == "must", 1).otherwise(0)).alias(
+            "must_hits"
+        ),
+        F.max(F.when(F.col("kind") == "must_not", 1).otherwise(0)).alias(
+            "banned"
+        ),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "kind", "s"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc
+            + F.when(x["kind"] != "must_not", x["s"]).otherwise(0.0),
+        ).alias("score"),
+    )
+    hits = per_doc.join(nm, "query_id").filter(
+        (F.col("must_hits") == F.col("n_must")) & (F.col("banned") == 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def facet_counts(
     spark: SparkSession,
     idx: InvertedIndex,

@@ -242,3 +242,44 @@ def test_facet_counts_equals_reference(spark):
             for r in facet_counts(spark, idx, df, q, "lang").collect()
         }
         assert got == want
+
+
+def test_boolean_batch_equals_per_query(spark, corpus):
+    """search_boolean_batch == per-query search_boolean for every
+    query_id, with empty queries skipped and shared terms across
+    queries handled independently."""
+    from fornax_spark.fulltext.query import search_boolean_batch
+
+    _, idx = corpus
+    queries = [
+        {"should": "spark join", "must": "table", "must_not": "row"},
+        {"should": "spark join window", "must_not": "agg"},
+        {"must": "spark join"},
+        {"should": "hash", "must": "scan table", "must_not": "spark join"},
+        {},  # empty -> no rows for this query_id
+        {"should": "window", "must": "zzz"},  # absent must -> no hits
+    ]
+    out = search_boolean_batch(spark, idx, queries, k=7).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in search_boolean(
+                spark, idx,
+                should=q.get("should", ""), must=q.get("must", ""),
+                must_not=q.get("must_not", ""), k=7,
+            ).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in single]
+        for (_, _, a), (_, _, b) in zip(got, single):
+            assert abs(a - b) < 1e-12
+    with pytest.raises(ValueError, match="scored and banned"):
+        search_boolean_batch(
+            spark, idx, [{"should": "spark", "must_not": "spark"}]
+        )
+    assert search_boolean_batch(spark, idx, [{}, {}]).count() == 0
