@@ -568,6 +568,24 @@ def q_ft_bool_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_bool_batch_topk_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ft_bool_batch_topk served from the DURABLE segment store: the
+    union of all six queries' terms drives one decode_postings scan
+    (pushed term_id filter, tombstone-shifted stats); shares
+    ft_bool_batch_topk's oracle."""
+    from fornax_spark.fulltext.wand import search_boolean_batch_segments
+
+    out = search_boolean_batch_segments(
+        spark, _ft_store(spark, sf_dir), list(FT_BOOL_BATCH), k=FT_K
+    )
+    return out.select(
+        "query_id", "rank", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def q_ft_bm25_topk_boolean_segments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1037,6 +1055,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (FT_QUERY over documents) ∧ exact
+    embedding-cosine (query = vec_id 0) fused by Reciprocal Rank
+    Fusion (k_rrf=60, depth 50 per leg). Fusion touches ≤ 100 rows
+    regardless of corpus size — each leg is already top-depth."""
+    from fornax_spark.fulltext.hybrid import hybrid_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    out = hybrid_topk(
+        spark,
+        _ft_index(spark, sf_dir),
+        emb,
+        FT_QUERY,
+        _query_vec(spark, sf_dir),
+        k=FT_K,
+        depth=50,
+    )
+    return out.select(
+        "rank", "doc_id",
+        F.round(F.col("rrf_score"), 6).alias("rrf_score"),
+    )
+
+
 _ANN_INDEX_CACHE: dict[str, object] = {}
 
 
@@ -1308,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_boolean": q_ft_bm25_topk_boolean,
         "ft_bm25_topk_boolean_segments": q_ft_bm25_topk_boolean_segments,
         "ft_bool_batch_topk": q_ft_bool_batch_topk,
+        "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
@@ -1346,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_verified_topk": q_ann_lsh_verified_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_pruned_topk": q_ann_ivf_pruned_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
         "json_meta_extract": q_json_meta_extract,
@@ -1479,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= {FT_K}
         ORDER BY query_id, rank
     """
+    sqls["ft_bool_batch_topk_segments"] = sqls["ft_bool_batch_topk"]
 
     _w_terms = sorted(FT_WEIGHTS)
     _w_case = " ".join(
@@ -2100,6 +2144,67 @@ def oracle_sql() -> dict[str, str]:
         WHERE vec_id <> 0
         ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
         LIMIT 10
+    """
+
+    # hybrid RRF: both legs re-derived independently in SQL — the BM25
+    # leg reuses BM25_SQL's CTE structure ranked to depth 50, the dense
+    # leg is brute-force cosine ranked to depth 50; fusion is
+    # sum(1/(60+rank)) over the union of the two rank lists. Ties on
+    # the fused score break doc_id ASC in both engines.
+    sqls["hybrid_rrf_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s GROUP BY 1
+        ), lex AS (
+          SELECT doc_id, r FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC) AS r
+            FROM scores
+          ) WHERE r <= 50
+        ), q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ), den AS (
+          SELECT doc_id, r FROM (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[], q.qv) DESC,
+                     vec_id ASC) AS r
+            FROM embeddings, q WHERE vec_id <> 0
+          ) WHERE r <= 50
+        ), fused AS (
+          SELECT doc_id, sum(1.0 / (60 + r)) AS rrf_score
+          FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+          GROUP BY 1
+        )
+        SELECT CAST(rank AS INT) AS rank, doc_id,
+               round(rrf_score, 6) AS rrf_score
+        FROM (
+          SELECT row_number() OVER (
+                   ORDER BY rrf_score DESC, doc_id ASC) AS rank,
+                 doc_id, rrf_score
+          FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
     """
 
     # exact O(n^2) oracle for the LSH-bucketed near-dup entry; the same

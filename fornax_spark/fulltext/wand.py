@@ -563,3 +563,29 @@ def search_weighted_segments(
 
     idx = _store_as_index(spark, store, sorted(weights))
     return search_weighted(spark, idx, weights, k=k)
+
+
+def search_boolean_batch_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    queries: list[dict],
+    k: int = 10,
+) -> DataFrame:
+    """query.search_boolean_batch served from the durable segment
+    store: the union of every query's terms drives ONE decode_postings
+    scan (pushed term_id filter covering all queries at once, live
+    tombstone mask, tombstone-shifted stats), then the single batch
+    plan ranks all queries — the production serving shape for a query
+    log. Results equal the raw-index batch path bit for bit."""
+    from .query import search_boolean_batch
+
+    terms = sorted(
+        {
+            t
+            for q in queries
+            for key in ("should", "must", "must_not")
+            for t in tokenize(q.get(key, ""))
+        }
+    )
+    idx = _store_as_index(spark, store, terms)
+    return search_boolean_batch(spark, idx, queries, k=k)

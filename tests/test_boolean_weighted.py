@@ -244,6 +244,44 @@ def test_facet_counts_equals_reference(spark):
         assert got == want
 
 
+def test_boolean_batch_from_store_matches_index(spark, corpus, tmp_path):
+    """search_boolean_batch_segments == raw-index batch path bit for
+    bit, before and after live deletes."""
+    from fornax_spark.fulltext.deletes import delete_docs
+    from fornax_spark.fulltext.query import search_boolean_batch
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_boolean_batch_segments
+
+    docs, idx = corpus
+    store = build_segments(spark, idx, str(tmp_path / "stb"), n_buckets=8)
+    queries = [
+        {"should": "spark join", "must": "table", "must_not": "row"},
+        {"must": "hash scan"},
+        {},
+        {"should": "window agg", "must_not": "table"},
+    ]
+    a = search_boolean_batch_segments(spark, store, queries, k=9).collect()
+    b = search_boolean_batch(spark, idx, queries, k=9).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+
+    dead = [r["doc_id"] for r in a[:2]]
+    delete_docs(spark, store, dead)
+    surv = [(d, t) for d, t in docs if d not in set(dead)]
+    idx2 = build_index_from_table(
+        spark.createDataFrame(surv, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    a2 = search_boolean_batch_segments(spark, store, queries, k=9).collect()
+    b2 = search_boolean_batch(spark, idx2, queries, k=9).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in a2] == [
+        (r["query_id"], r["rank"], r["doc_id"]) for r in b2
+    ]
+    for ra, rb in zip(a2, b2):
+        assert abs(ra["score"] - rb["score"]) < 1e-9
+
+
 def test_boolean_batch_equals_per_query(spark, corpus):
     """search_boolean_batch == per-query search_boolean for every
     query_id, with empty queries skipped and shared terms across
