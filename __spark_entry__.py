@@ -586,6 +586,41 @@ def q_ft_bool_batch_topk_segments(
     )
 
 
+def q_ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion from the durable store's dictionary: top
+    terms starting with 's' by document frequency (df DESC, term ASC).
+    The startswith filter is pushed into the dictionary parquet scan."""
+    from fornax_spark.fulltext.wand import suggest_terms_segments
+
+    return suggest_terms_segments(
+        spark, _ft_store(spark, sf_dir), "s", k=FT_K
+    )
+
+
+def q_hybrid_rrf_topk_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """hybrid_rrf_topk with the lexical leg served from the durable
+    segment store via the MaxScore-pruned kernel; shares
+    hybrid_rrf_topk's oracle (same deterministic leg ranks)."""
+    from fornax_spark.fulltext.wand import hybrid_topk_segments
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    out = hybrid_topk_segments(
+        spark,
+        _ft_store(spark, sf_dir),
+        emb,
+        FT_QUERY,
+        _query_vec(spark, sf_dir),
+        k=FT_K,
+        depth=50,
+    )
+    return out.select(
+        "rank", "doc_id",
+        F.round(F.col("rrf_score"), 6).alias("rrf_score"),
+    )
+
+
 def q_ft_bm25_topk_boolean_segments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1350,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_boolean_segments": q_ft_bm25_topk_boolean_segments,
         "ft_bool_batch_topk": q_ft_bool_batch_topk,
         "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
+        "ft_suggest": q_ft_suggest,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
@@ -1389,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_pruned_topk": q_ann_ivf_pruned_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_rrf_topk_segments": q_hybrid_rrf_topk_segments,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
         "json_meta_extract": q_json_meta_extract,
@@ -1523,6 +1560,17 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """
     sqls["ft_bool_batch_topk_segments"] = sqls["ft_bool_batch_topk"]
+
+    # prefix suggest: df = count of docs CONTAINING the term (distinct),
+    # ranked (df DESC, term ASC) — matches the store dictionary's df
+    sqls["ft_suggest"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        )
+        SELECT term, count(DISTINCT doc_id) AS df
+        FROM tok WHERE term LIKE 's%'
+        GROUP BY 1 ORDER BY df DESC, term ASC LIMIT {FT_K}
+    """
 
     _w_terms = sorted(FT_WEIGHTS)
     _w_case = " ".join(
@@ -2206,6 +2254,9 @@ def oracle_sql() -> dict[str, str]:
           FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT {FT_K}
         ) ORDER BY rank
     """
+
+    # store-served hybrid: same deterministic legs -> same oracle
+    sqls["hybrid_rrf_topk_segments"] = sqls["hybrid_rrf_topk"]
 
     # exact O(n^2) oracle for the LSH-bucketed near-dup entry; the same
     # planted-duplicate construction as _emb_corpus_with_planted_dups

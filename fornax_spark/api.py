@@ -1019,6 +1019,39 @@ class CorpusHandle:
             self.conn.spark, self._store(), weights, k=k
         )
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Prefix completion over this corpus's vocabulary: top-k terms
+        starting with `prefix` by live document frequency -> (term,
+        df), tombstone-shifted (suggestions never surface terms that
+        only deleted docs contained)."""
+        from .fulltext.wand import suggest_terms_segments
+
+        return suggest_terms_segments(
+            self.conn.spark, self._store(), prefix, k=k
+        )
+
+    def search_hybrid(
+        self,
+        query_text: str,
+        query_vec: list[float],
+        emb: DataFrame,
+        k: int = 10,
+        depth: int = 50,
+        k_rrf: int = 60,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Hybrid lexical+dense top-k by Reciprocal Rank Fusion: the
+        BM25 leg runs the store's MaxScore-pruned kernel, the dense leg
+        is exact cosine over the caller-provided `emb` table ->
+        (rank, doc_id, rrf_score)."""
+        from .fulltext.wand import hybrid_topk_segments
+
+        return hybrid_topk_segments(
+            self.conn.spark, self._store(), emb, query_text, query_vec,
+            k=k, depth=depth, k_rrf=k_rrf, id_col=id_col, vec_col=vec_col,
+        )
+
     def facets(
         self, query_text: str, docs: DataFrame, facet_col: str,
         id_col: str = "doc_id",

@@ -377,5 +377,29 @@ def facet_counts(
     )
 
 
+def suggest_terms(
+    idx: InvertedIndex, prefix: str, k: int = 10
+) -> DataFrame:
+    """Prefix completion over the vocabulary: the top-k index terms
+    starting with `prefix`, ranked by document frequency ->
+    (term, df), order (df DESC, term ASC).
+
+    The prefix is normalized through the tokenizer (lowercase,
+    [a-z0-9]+); a prefix that normalizes to nothing returns 0 rows.
+    Scale shape: a filter + TakeOrderedAndProject over the
+    vocabulary-sized term_stats relation — no postings are touched and
+    no corpus-sized shuffle exists."""
+    norm = tokenize(prefix)
+    if len(norm) != 1:
+        # empty / punctuation-only / multi-token "prefix" → no matches
+        return idx.term_stats.filter(F.lit(False)).select("term", "df")
+    return (
+        idx.term_stats.filter(F.col("term").startswith(norm[0]))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -565,6 +565,45 @@ def search_weighted_segments(
     return search_weighted(spark, idx, weights, k=k)
 
 
+def suggest_terms_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """query.suggest_terms served from the durable store's dictionary:
+    (term, df), order (df DESC, term ASC), df tombstone-shifted so the
+    suggestions equal a clean rebuild without the deleted docs.
+
+    Scale shape: the startswith filter is pushed into the dictionary
+    parquet scan (StartsWith pushes as a string-range predicate, so a
+    term-sorted dictionary prunes row groups); the df-delta correction
+    is a broadcast join of the tombstone-sized delta table."""
+    norm = tokenize(prefix)
+    d = store.dictionary(spark)
+    if len(norm) != 1:
+        return d.filter(F.lit(False)).select("term", "df")
+    cand = d.filter(F.col("term").startswith(norm[0]))
+    tomb, _, _ = _store_tombstones(store)
+    if tomb is not None and tomb.df_deltas:
+        deltas = spark.createDataFrame(
+            [(int(t), int(v)) for t, v in tomb.df_deltas.items()],
+            "term_id int, delta long",
+        )
+        cand = (
+            cand.join(F.broadcast(deltas), "term_id", "left")
+            .withColumn(
+                "df", F.col("df") - F.coalesce(F.col("delta"), F.lit(0))
+            )
+            .filter(F.col("df") > 0)
+        )
+    return (
+        cand.select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def search_boolean_batch_segments(
     spark: SparkSession,
     store: SegmentStore,
@@ -589,3 +628,30 @@ def search_boolean_batch_segments(
     )
     idx = _store_as_index(spark, store, terms)
     return search_boolean_batch(spark, idx, queries, k=k)
+
+
+def hybrid_topk_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    emb,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """hybrid.hybrid_topk with the lexical leg served from the durable
+    segment store via the MaxScore-pruned WAND kernel (pushed term_id
+    decode, tombstone-shifted stats); the dense leg and the RRF fusion
+    are unchanged. Equal to the raw-index hybrid bit for bit — the
+    lexical ranks are the same deterministic (score DESC, doc_id ASC)
+    top-depth."""
+    from .hybrid import dense_ranked, rrf_fuse
+
+    lex = search_segments(spark, store, query_text, k=depth).select(
+        "doc_id", "rank"
+    )
+    den = dense_ranked(emb, query_vec, depth, id_col=id_col, vec_col=vec_col)
+    return rrf_fuse([lex, den], k=k, k_rrf=k_rrf)

@@ -1,0 +1,146 @@
+"""Prefix suggestion (index + durable store + facade) vs a pure-Python
+reference, including tombstone-shifted df after live deletes, and
+store-served hybrid RRF parity."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from fornax_spark.fulltext.build import build_index_from_table
+from fornax_spark.fulltext.query import suggest_terms
+from fornax_spark.fulltext.segments import build_segments
+from fornax_spark.fulltext.textproc import tokenize
+from fornax_spark.fulltext.wand import (
+    hybrid_topk_segments,
+    suggest_terms_segments,
+)
+
+VOCAB = [
+    "spark", "sparse", "span", "split", "sort", "scan",
+    "join", "jump", "window", "wind", "table", "tab",
+]
+
+
+def _mk_docs(n: int, seed: int):
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 20))))
+        for i in range(n)
+    ]
+
+
+def _ref_suggest(docs, prefix, k):
+    df: dict[str, int] = {}
+    for _, t in docs:
+        for term in set(tokenize(t)):
+            if term.startswith(prefix):
+                df[term] = df.get(term, 0) + 1
+    return sorted(df.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = _mk_docs(300, seed=13)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index_from_table(df, "doc_id", "text").persist()
+    yield docs, idx
+    idx.postings.unpersist()
+
+
+def test_suggest_terms_matches_reference(spark, corpus):
+    docs, idx = corpus
+    for prefix in ["sp", "s", "w", "tab", "zzz"]:
+        got = [(r["term"], r["df"]) for r in
+               suggest_terms(idx, prefix, k=5).collect()]
+        assert got == _ref_suggest(docs, prefix, 5), prefix
+    # normalization: uppercase prefix tokenizes to lowercase; empty /
+    # punctuation-only / multi-token prefixes return nothing
+    up = [(r["term"], r["df"]) for r in
+          suggest_terms(idx, "SP", k=5).collect()]
+    assert up == _ref_suggest(docs, "sp", 5)
+    for bad in ["", "  ", "!!", "sp an"]:
+        assert suggest_terms(idx, bad, k=5).count() == 0
+
+
+def test_suggest_from_store_with_deletes(spark, corpus, tmp_path):
+    """Store suggestions == index suggestions; after delete_docs the
+    store's df is tombstone-shifted to equal a clean rebuild, and a
+    term whose every doc died stops being suggested."""
+    from fornax_spark.fulltext.deletes import delete_docs
+
+    docs, idx = corpus
+    # plant a term that lives ONLY in docs we will delete
+    planted = [(1000 + j, "sporadic spark") for j in range(3)]
+    all_docs = docs + planted
+    full_idx = build_index_from_table(
+        spark.createDataFrame(all_docs, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    store = build_segments(spark, full_idx, str(tmp_path / "sg"), n_buckets=8)
+    a = [(r["term"], r["df"]) for r in
+         suggest_terms_segments(spark, store, "sp", k=10).collect()]
+    b = [(r["term"], r["df"]) for r in
+         suggest_terms(full_idx, "sp", k=10).collect()]
+    assert a == b
+    assert ("sporadic", 3) in a
+
+    delete_docs(spark, store, [d for d, _ in planted])
+    got = [(r["term"], r["df"]) for r in
+           suggest_terms_segments(spark, store, "sp", k=10).collect()]
+    assert got == _ref_suggest(docs, "sp", 10)
+    assert all(t != "sporadic" for t, _ in got)
+
+
+def test_hybrid_store_matches_index(spark, corpus, tmp_path):
+    """hybrid_topk_segments == raw-index hybrid_topk bit for bit."""
+    from fornax_spark.fulltext.hybrid import hybrid_topk
+
+    docs, idx = corpus
+    store = build_segments(spark, idx, str(tmp_path / "hg"), n_buckets=8)
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((len(docs), 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(1, len(docs))],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    a = hybrid_topk_segments(
+        spark, store, emb, "spark join window", qv, k=8, depth=30
+    ).collect()
+    b = hybrid_topk(
+        spark, idx, emb, "spark join window", qv, k=8, depth=30
+    ).collect()
+    assert [(r["rank"], r["doc_id"]) for r in a] == [
+        (r["rank"], r["doc_id"]) for r in b
+    ]
+    for ra, rb in zip(a, b):
+        assert abs(ra["rrf_score"] - rb["rrf_score"]) < 1e-12
+
+
+def test_facade_suggest_and_hybrid(spark, tmp_path):
+    """CorpusHandle.suggest / search_hybrid == the direct store calls."""
+    from fornax_spark import Connection
+
+    conn = Connection(str(tmp_path / "fx"), spark)
+    docs = _mk_docs(120, seed=3)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    c = conn.create_corpus("sg").build(df, n_buckets=4)
+    got = [(r["term"], r["df"]) for r in c.suggest("sp", k=4).collect()]
+    assert got == _ref_suggest(docs, "sp", 4)
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((len(docs), 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(1, len(docs))],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    out = c.search_hybrid("spark join", qv, emb, k=5, depth=20).collect()
+    direct = hybrid_topk_segments(
+        spark, c._store(), emb, "spark join", qv, k=5, depth=20
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in direct]
+    assert len(out) > 0
