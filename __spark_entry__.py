@@ -586,6 +586,18 @@ def q_ft_bool_batch_topk_segments(
     )
 
 
+def q_ft_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-searches primitive: terms most associated with 'spark'
+    by PMI over document co-occurrence. Ordered by the PMI argument
+    ratio (rational — reproducible bit for bit in any engine), ties
+    term ASC."""
+    from fornax_spark.fulltext.query import related_terms
+
+    return related_terms(
+        _ft_index(spark, sf_dir), "spark", k=FT_K, min_df=2
+    )
+
+
 def q_ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix completion from the durable store's dictionary: top
     terms starting with 's' by document frequency (df DESC, term ASC).
@@ -1386,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_batch_topk": q_ft_bool_batch_topk,
         "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
         "ft_suggest": q_ft_suggest,
+        "ft_related_terms": q_ft_related_terms,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
@@ -1560,6 +1573,37 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """
     sqls["ft_bool_batch_topk_segments"] = sqls["ft_bool_batch_topk"]
+
+    # related terms by PMI: tok is DISTINCT (doc_id, term); the order
+    # key is the rational ratio n*df_co/(df_s*df_t) (no transcendental
+    # in the sort), pmi = ln(ratio) rounded for display. Mirrors the
+    # Spark expression shape: (n * df_co) double-multiplied first, then
+    # divided by the exact integer product df_s*df_t.
+    sqls["ft_related_terms"] = f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest({TOKENS_SQL}) AS term
+          FROM documents
+        ), n AS (
+          SELECT count(*)::DOUBLE AS n FROM documents
+        ), sd AS (
+          SELECT doc_id FROM tok WHERE term = 'spark'
+        ), dfs AS (
+          SELECT count(*)::BIGINT AS df_s FROM sd
+        ), co AS (
+          SELECT t.term, count(*)::BIGINT AS df_co
+          FROM tok t JOIN sd USING (doc_id)
+          WHERE t.term <> 'spark' GROUP BY 1
+        ), df AS (
+          SELECT term, count(*)::BIGINT AS df_t FROM tok GROUP BY 1
+        )
+        SELECT term, df_co, round(ln(ratio), 6) AS pmi FROM (
+          SELECT co.term, co.df_co,
+                 (n.n * co.df_co) / (dfs.df_s * df.df_t) AS ratio
+          FROM co JOIN df USING (term) CROSS JOIN n CROSS JOIN dfs
+          WHERE co.df_co >= 2
+          ORDER BY ratio DESC, term ASC LIMIT {FT_K}
+        ) ORDER BY ratio DESC, term ASC
+    """
 
     # prefix suggest: df = count of docs CONTAINING the term (distinct),
     # ranked (df DESC, term ASC) — matches the store dictionary's df

@@ -401,5 +401,62 @@ def suggest_terms(
     )
 
 
+def related_terms(
+    idx: InvertedIndex,
+    seed: str,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Terms most associated with `seed` by pointwise mutual
+    information over document co-occurrence -> (term, df_co, pmi):
+    pmi(t) = ln(n_docs · df_st / (df_s · df_t)) where df_st = number of
+    docs containing BOTH terms. The "related searches" primitive.
+
+    Ordering is by the PMI argument ratio (rational arithmetic — one
+    IEEE division of exact integers, so any SQL engine reproduces the
+    order bit for bit; ln is monotonic so the order IS the PMI order),
+    ties term ASC. `min_df` floors df_st to suppress one-off
+    co-occurrences.
+
+    Scale shape: the seed's doc list comes from the pushed term filter
+    (df_s rows); the co-occurrence join re-shuffles only (term, doc_id)
+    pairs of those docs — postings rows are unique per (term, doc), so
+    the groupBy count IS the co-document frequency. No corpus-sized
+    collect; the seed-doc side stays a distributed join input."""
+    norm = tokenize(seed)
+    if len(norm) != 1:
+        raise ValueError("related_terms: seed must be a single term")
+    s = norm[0]
+    seed_docs = (
+        idx.postings.filter(F.col("term") == s).select("doc_id")
+    )
+    co = (
+        idx.postings.select("term", "doc_id")
+        .join(seed_docs, "doc_id")
+        .filter(F.col("term") != s)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_co"))
+        .filter(F.col("df_co") >= min_df)
+    )
+    df_s = idx.term_stats.filter(F.col("term") == s).select("df")
+    n = float(idx.stats.n_docs)
+    out = (
+        co.join(idx.term_stats.withColumnRenamed("df", "df_t"), "term")
+        .crossJoin(F.broadcast(df_s.withColumnRenamed("df", "df_s")))
+        .withColumn(
+            "ratio",
+            F.lit(n)
+            * F.col("df_co")
+            / (F.col("df_s") * F.col("df_t")),
+        )
+        .withColumn("pmi", F.log(F.col("ratio")))
+    )
+    return (
+        out.orderBy(F.col("ratio").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term", "df_co", F.round("pmi", 6).alias("pmi"))
+    )
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -144,3 +144,58 @@ def test_facade_suggest_and_hybrid(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in direct]
     assert len(out) > 0
+
+
+def _ref_related(docs, seed, k, min_df):
+    import math
+
+    toks = {d: set(tokenize(t)) for d, t in docs}
+    n = len(docs)
+    seed_docs = {d for d, ts in toks.items() if seed in ts}
+    df_s = len(seed_docs)
+    df: dict[str, int] = {}
+    co: dict[str, int] = {}
+    for d, ts in toks.items():
+        for t in ts:
+            df[t] = df.get(t, 0) + 1
+            if d in seed_docs and t != seed:
+                co[t] = co.get(t, 0) + 1
+    out = []
+    for t, c in co.items():
+        if c < min_df:
+            continue
+        ratio = (n * c) / (df_s * df[t])
+        out.append((t, c, ratio, round(math.log(ratio), 6)))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return [(t, c, p) for t, c, _, p in out[:k]]
+
+
+def test_related_terms_matches_reference(spark, corpus):
+    from fornax_spark.fulltext.query import related_terms
+
+    docs, idx = corpus
+    got = [
+        (r["term"], r["df_co"], r["pmi"])
+        for r in related_terms(idx, "spark", k=8, min_df=2).collect()
+    ]
+    assert got == _ref_related(docs, "spark", 8, 2)
+    # seed normalization + OOV + multi-token
+    up = [
+        (r["term"], r["df_co"], r["pmi"])
+        for r in related_terms(idx, "SPARK", k=8, min_df=2).collect()
+    ]
+    assert up == got
+    assert related_terms(idx, "zzznotaterm", k=5).count() == 0
+    with pytest.raises(ValueError):
+        related_terms(idx, "two terms")
+    # min_df floor: raising it can only shrink the candidate set
+    loose = {
+        r["term"]
+        for r in related_terms(idx, "spark", k=50, min_df=1).collect()
+    }
+    tight = {
+        r["term"]
+        for r in related_terms(idx, "spark", k=50, min_df=150).collect()
+    }
+    assert tight <= loose
+    assert got and all(t != "spark" for t, _, _ in got)
