@@ -586,6 +586,29 @@ def q_ft_bool_batch_topk_segments(
     )
 
 
+FT_MLT_DOC = 7
+FT_MLT_TERMS = 5
+
+
+def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: BM25 over doc 7's top-5 tf·idf terms, the
+    source doc excluded. Term selection is a bounded
+    TakeOrderedAndProject over one doc's postings (pushed doc_id
+    filter); retrieval is the standard deterministic top-k."""
+    from fornax_spark.fulltext.query import more_like_this
+
+    out = more_like_this(
+        spark,
+        _ft_index(spark, sf_dir),
+        FT_MLT_DOC,
+        k=FT_K,
+        max_terms=FT_MLT_TERMS,
+    )
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 def q_ft_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-searches primitive: terms most associated with 'spark'
     by PMI over document co-occurrence. Ordered by the PMI argument
@@ -629,6 +652,39 @@ def q_hybrid_rrf_topk_segments(
     )
     return out.select(
         "rank", "doc_id",
+        F.round(F.col("rrf_score"), 6).alias("rrf_score"),
+    )
+
+
+FT_HYBRID_BATCH_TEXTS = (FT_QUERY, "data column", "hash scan", "zzznotaterm")
+
+
+def q_hybrid_rrf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 4-query hybrid log in ONE plan: texts FT_HYBRID_BATCH_TEXTS
+    (the last one OOV → dense-only), query vectors = embeddings
+    vec_id 0..3 (1..3 are corpus members, so their dense legs lead
+    with the self-match). Lexical legs share one pushed decode via
+    search_segments_batch; dense legs share one corpus scan via
+    cosine_topk_batch."""
+    from fornax_spark.fulltext.wand import hybrid_topk_batch_segments
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < len(FT_HYBRID_BATCH_TEXTS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    queries = [
+        {"text": t, "vec": qv[i]}
+        for i, t in enumerate(FT_HYBRID_BATCH_TEXTS)
+    ]
+    out = hybrid_topk_batch_segments(
+        spark, _ft_store(spark, sf_dir), emb, queries, k=FT_K, depth=50
+    )
+    return out.select(
+        "query_id", "rank", "doc_id",
         F.round(F.col("rrf_score"), 6).alias("rrf_score"),
     )
 
@@ -1399,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
         "ft_suggest": q_ft_suggest,
         "ft_related_terms": q_ft_related_terms,
+        "ft_more_like_this": q_ft_more_like_this,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
@@ -1439,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned_topk": q_ann_ivf_pruned_topk,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "hybrid_rrf_topk_segments": q_hybrid_rrf_topk_segments,
+        "hybrid_rrf_batch_topk": q_hybrid_rrf_batch_topk,
         "emb_similar_pairs": q_emb_similar_pairs,
         "nema_topn": q_nema_topn,
         "json_meta_extract": q_json_meta_extract,
@@ -1573,6 +1631,54 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """
     sqls["ft_bool_batch_topk_segments"] = sqls["ft_bool_batch_topk"]
+
+    # more-like-this: the term-selection stage (top tf·idf terms of the
+    # source doc, ties term ASC) is replicated in SQL, then the
+    # standard BM25 ranking over those terms excludes the source doc
+    sqls["ft_more_like_this"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), alldf AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+          FROM tok GROUP BY 1
+        ), qterms AS (
+          SELECT term FROM (
+            SELECT t.term,
+                   t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS w
+            FROM (
+              SELECT term, count(*)::DOUBLE AS tf FROM tok
+              WHERE doc_id = {FT_MLT_DOC} GROUP BY 1
+            ) t JOIN alldf d USING (term) CROSS JOIN stats s
+            ORDER BY w DESC, term ASC LIMIT {FT_MLT_TERMS}
+          )
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM tf JOIN alldf d USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+          WHERE tf.doc_id <> {FT_MLT_DOC}
+          GROUP BY 1
+        )
+        SELECT rank, doc_id, round(score, 4) AS score FROM (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                 doc_id, score
+          FROM scores ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
+    """
 
     # related terms by PMI: tok is DISTINCT (doc_id, term); the order
     # key is the rational ratio n*df_co/(df_s*df_t) (no transcendental
@@ -2301,6 +2407,90 @@ def oracle_sql() -> dict[str, str]:
 
     # store-served hybrid: same deterministic legs -> same oracle
     sqls["hybrid_rrf_topk_segments"] = sqls["hybrid_rrf_topk"]
+
+    # batched hybrid: generated from FT_HYBRID_BATCH_TEXTS — one
+    # (query_id, term) VALUES table drives per-query BM25 arms over
+    # shared tf/df CTEs; one (query_id, vec_id) VALUES table maps each
+    # query to its vector; both rank lists fuse under (query_id,
+    # doc_id). An OOV text simply contributes no lex rows.
+    _hb_qt = [
+        (qid, t)
+        for qid, txt in enumerate(FT_HYBRID_BATCH_TEXTS)
+        for t in sorted(set(_tok(txt)))
+    ]
+    _hb_qt_vals = ", ".join(f"({q}, '{t}')" for q, t in _hb_qt)
+    _hb_terms = sorted({t for _, t in _hb_qt})
+    _hb_qv_vals = ", ".join(
+        f"({i}, {i})" for i in range(len(FT_HYBRID_BATCH_TEXTS))
+    )
+    sqls["hybrid_rrf_batch_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), qt(query_id, term) AS (
+          VALUES {_hb_qt_vals}
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ({_in(_hb_terms)}) GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), hits AS (
+          SELECT qt.query_id, tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM tf JOIN qt USING (term) JOIN df USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN stats s
+          GROUP BY 1, 2
+        ), lex AS (
+          SELECT query_id, doc_id, r FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS r
+            FROM hits
+          ) WHERE r <= 50
+        ), qmap(query_id, qvec_id) AS (
+          VALUES {_hb_qv_vals}
+        ), qv AS (
+          SELECT m.query_id, e.embedding::DOUBLE[] AS v
+          FROM qmap m JOIN embeddings e ON e.vec_id = m.qvec_id
+        ), den AS (
+          SELECT query_id, doc_id, r FROM (
+            -- rank on the 6-dp-rounded cosine, the engine's contract
+            -- (cosine_scores rounds before cosine_topk orders)
+            SELECT q.query_id, e.vec_id AS doc_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.v), 6) DESC,
+                     e.vec_id ASC) AS r
+            FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+          ) WHERE r <= 50
+        ), fused AS (
+          SELECT query_id, doc_id, sum(1.0 / (60 + r)) AS rrf_score
+          FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+          GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+               doc_id, round(rrf_score, 6) AS rrf_score
+        FROM (
+          SELECT query_id, doc_id, rrf_score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id ASC) AS rank
+          FROM fused
+        )
+        WHERE rank <= {FT_K}
+        ORDER BY query_id, rank
+    """
 
     # exact O(n^2) oracle for the LSH-bucketed near-dup entry; the same
     # planted-duplicate construction as _emb_corpus_with_planted_dups

@@ -155,6 +155,37 @@ def main() -> None:
                 spark, fidx, docs, "term00000 term00001", "lang"
             ),
         )
+        # batched serving: a 64-query boolean log in ONE plan — the
+        # throughput shape (per-query cost amortizes the fixed floor)
+        from fornax_spark.fulltext.wand import search_boolean_batch_segments
+
+        bool_batch = [
+            {
+                "should": f"term{(7 * i) % 50:05d} term{(11 * i) % 50:05d}",
+                "must": f"term{(3 * i) % 50:05d}",
+                "must_not": f"term{(13 * i + 1) % 50:05d}",
+            }
+            for i in range(64)
+        ]
+        # drop queries whose must_not collides with a scored term
+        bool_batch = [
+            q
+            for q in bool_batch
+            if q["must_not"] not in (q["must"] + " " + q["should"])
+        ]
+        run(
+            "boolean_batch64",
+            lambda: search_boolean_batch_segments(
+                spark, seg, bool_batch, k=10
+            ),
+        )
+        # prefix suggest from the store dictionary (pushed startswith)
+        from fornax_spark.fulltext.wand import suggest_terms_segments
+
+        run(
+            "suggest",
+            lambda: suggest_terms_segments(spark, seg, "term0001", k=10),
+        )
         run(
             "min_window",
             lambda: pos.min_window_topk(

@@ -60,6 +60,36 @@ def rrf_fuse(
     ).select("rank", "doc_id", "rrf_score")
 
 
+def rrf_fuse_batch(
+    ranked: list[DataFrame], k: int = 10, k_rrf: int = 60
+) -> DataFrame:
+    """rrf_fuse for a QUERY BATCH: inputs carry (query_id, doc_id,
+    rank) and fusion groups on (query_id, doc_id) ->
+    (query_id, rank, doc_id, rrf_score), rank windowed PARTITIONED by
+    query_id — no single-partition path at any batch size. Each input
+    is already per-query top-depth, so the groupBy touches
+    ≤ N·Σ depth_i rows total."""
+    if not ranked:
+        raise ValueError("rrf_fuse_batch: need at least one ranked list")
+    u = ranked[0].select("query_id", "doc_id", "rank")
+    for r in ranked[1:]:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))).alias(
+            "rrf_score"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "rrf_score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def dense_ranked(
     emb: DataFrame,
     query_vec: list[float],

@@ -458,5 +458,64 @@ def related_terms(
     )
 
 
+def mlt_query_terms(
+    idx: InvertedIndex, doc_id: int, max_terms: int = 10
+) -> list[str]:
+    """The top `max_terms` terms of one document by tf·idf, the
+    "more like this" query-building step (Lucene MLT's term selection,
+    with the BM25 idf so the weight is always positive):
+    weight = tf · ln(1 + (n − df + 0.5)/(df + 0.5)), ties term ASC.
+
+    The collect is ≤ max_terms rows by construction (a bounded
+    TakeOrderedAndProject over the single doc's postings, reached by a
+    pushed doc_id filter) — this is query BUILDING, not retrieval."""
+    n = float(idx.stats.n_docs)
+    rows = (
+        idx.postings.filter(F.col("doc_id") == doc_id)
+        .join(idx.term_stats, "term")
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(max_terms)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def more_like_this(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = 10,
+) -> DataFrame:
+    """Documents most similar to `doc_id`: BM25 over the doc's top
+    tf·idf terms (mlt_query_terms), the source doc excluded ->
+    (rank, doc_id, score). An unknown doc_id returns 0 rows."""
+    terms = mlt_query_terms(idx, doc_id, max_terms=max_terms)
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, score double"
+        )
+    hits = search(spark, idx, " ".join(terms), k=k + 1).filter(
+        F.col("doc_id") != doc_id
+    )
+    # re-rank over ≤ k+1 rows (bounded by the search k, not the corpus)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)

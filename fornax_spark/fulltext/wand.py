@@ -655,3 +655,51 @@ def hybrid_topk_segments(
     )
     den = dense_ranked(emb, query_vec, depth, id_col=id_col, vec_col=vec_col)
     return rrf_fuse([lex, den], k=k, k_rrf=k_rrf)
+
+
+def hybrid_topk_batch_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    emb,
+    queries: list[dict],
+    k: int = 10,
+    depth: int = 50,
+    k_rrf: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A whole hybrid query log in ONE plan: `queries[i]` is
+    {"text": str, "vec": list[float]} -> (query_id, rank, doc_id,
+    rrf_score). The lexical legs run search_segments_batch (every
+    query's terms share one pushed decode, per-(term, block) cache
+    across queries); the dense legs run cosine_topk_batch (one corpus
+    scan computes every query's cosine block, local top-depth per
+    Arrow batch); fusion is rrf_fuse_batch. Per-query results equal
+    the single-query hybrid_topk_segments bit for bit."""
+    import pandas as pd
+
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, rrf_score double"
+        )
+    from fornax_spark.operators.similarity import cosine_topk_batch
+
+    from .hybrid import rrf_fuse_batch
+
+    qpdf = pd.DataFrame(
+        [
+            {"query_id": i, "query_text": q["text"], "k": depth}
+            for i, q in enumerate(queries)
+        ]
+    )
+    lex = search_segments_batch(spark, store, qpdf).select(
+        "query_id", "doc_id", "rank"
+    )
+    den = cosine_topk_batch(
+        emb,
+        [q["vec"] for q in queries],
+        depth=depth,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", F.col("id").alias("doc_id"), "rank")
+    return rrf_fuse_batch([lex, den], k=k, k_rrf=k_rrf)

@@ -66,6 +66,72 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    depth: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-`depth` for ALL query vectors in ONE scan ->
+    (query_id, rank, id, cosine), rank 1-based per query_id.
+
+    The query matrix rides into an Arrow kernel as a closure (N·d
+    doubles — query-batch-sized, never corpus-sized); each input batch
+    computes its full cosine block against every query at once and
+    emits only its LOCAL top-depth per query, so the shuffle into the
+    final per-query window carries ≤ n_batches · N · depth rows — the
+    corpus itself is scanned once and never shuffled. Cosines are
+    rounded to 6 dp BEFORE ranking, matching cosine_scores' contract,
+    so batch ranks == per-query cosine_topk ranks."""
+    q = np.asarray(query_vecs, dtype=np.float64)
+    if q.ndim != 2 or not len(q):
+        raise ValueError("cosine_topk_batch: need a non-empty N x d matrix")
+    qn = np.linalg.norm(q, axis=1)
+    n_q = len(q)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vn = np.linalg.norm(v, axis=1)
+            # 0/0 -> nan, exactly like the JVM expression's behavior
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.round((v @ q.T) / np.outer(vn, qn), 6)
+            out_q, out_i, out_c = [], [], []
+            for j in range(n_q):
+                col = cos[:, j]
+                order = np.lexsort((ids, -col))[:depth]
+                out_q.append(np.full(len(order), j, dtype=np.int32))
+                out_i.append(ids[order])
+                out_c.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        gen, "query_id int, id long, cosine double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= depth)
+        .select("query_id", "rank", "id", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN: a persisted bucket-keyed signature INDEX, built once per corpus
 # ---------------------------------------------------------------------------

@@ -199,3 +199,112 @@ def test_related_terms_matches_reference(spark, corpus):
     }
     assert tight <= loose
     assert got and all(t != "spark" for t, _, _ in got)
+
+
+def _ref_mlt(docs, doc_id, k, max_terms):
+    import math
+
+    from fornax_spark.fulltext import bm25
+
+    toks = {d: tokenize(t) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    src = toks.get(doc_id, [])
+    weights = []
+    for t in set(src):
+        w = src.count(t) * math.log(
+            1 + (n - df[t] + 0.5) / (df[t] + 0.5)
+        )
+        weights.append((t, w))
+    weights.sort(key=lambda x: (-x[1], x[0]))
+    qterms = [t for t, _ in weights[:max_terms]]
+    scored = []
+    for d, v in toks.items():
+        if d == doc_id:
+            continue
+        s, hit = 0.0, False
+        for t in sorted(set(qterms)):
+            tf = v.count(t)
+            if not tf:
+                continue
+            hit = True
+            s += float(
+                bm25.term_score(
+                    np.array([tf]), np.array([len(v)]),
+                    np.array([df[t]]), n, avgdl,
+                )[0]
+            )
+        if hit:
+            scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
+
+
+def test_more_like_this_matches_reference(spark, corpus):
+    from fornax_spark.fulltext.query import mlt_query_terms, more_like_this
+
+    docs, idx = corpus
+    for doc_id, max_terms in [(5, 3), (17, 100)]:
+        got = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in more_like_this(
+                spark, idx, doc_id, k=8, max_terms=max_terms
+            ).collect()
+        ]
+        want = _ref_mlt(docs, doc_id, 8, max_terms)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+        for (_, _, a), (_, _, b) in zip(got, want):
+            assert abs(a - b) < 1e-9
+        assert all(d != doc_id for _, d, _ in got)
+    # unknown doc -> no rows; term selection is deterministic
+    assert more_like_this(spark, idx, 10**9, k=5).count() == 0
+    a = mlt_query_terms(idx, 5, max_terms=4)
+    assert a == mlt_query_terms(idx, 5, max_terms=4)
+    assert len(a) <= 4
+
+
+def test_hybrid_batch_equals_per_query(spark, corpus, tmp_path):
+    """hybrid_topk_batch_segments == per-query hybrid_topk_segments for
+    every query_id, including an OOV-text (dense-only) query."""
+    from fornax_spark.fulltext.wand import hybrid_topk_batch_segments
+
+    docs, idx = corpus
+    store = build_segments(spark, idx, str(tmp_path / "hb"), n_buckets=8)
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((len(docs), 12))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(1, len(docs))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [
+        {"text": "spark join window", "vec": [float(x) for x in vecs[0]]},
+        {"text": "table hash", "vec": [float(x) for x in vecs[1]]},
+        {"text": "zzznotaterm", "vec": [float(x) for x in vecs[2]]},
+        {"text": "sort", "vec": [float(x) for x in vecs[3]]},
+    ]
+    out = hybrid_topk_batch_segments(
+        spark, store, emb, queries, k=7, depth=25
+    ).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["rrf_score"])
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (r["rank"], r["doc_id"], r["rrf_score"])
+            for r in hybrid_topk_segments(
+                spark, store, emb, q["text"], q["vec"], k=7, depth=25
+            ).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [(r, d) for r, d, _ in got] == [
+            (r, d) for r, d, _ in single
+        ], f"query {qid}"
+        for (_, _, a), (_, _, b) in zip(got, single):
+            assert abs(a - b) < 1e-12
+    assert hybrid_topk_batch_segments(spark, store, emb, [], k=5).count() == 0
