@@ -621,6 +621,27 @@ def q_ft_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FT_QLANG = 'spark +join -row "table hash"'
+
+
+def q_ft_query_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-string mini-language end to end: SHOULD spark, MUST join,
+    MUST_NOT row, required exact phrase "table hash" (the phrase
+    match-set composes as a semi-join BEFORE the top-k cut)."""
+    from fornax_spark.fulltext.qlang import search_query
+
+    out = search_query(
+        spark,
+        _ft_index(spark, sf_dir),
+        FT_QLANG,
+        k=FT_K,
+        positional_postings=_ft_positional(spark, sf_dir),
+    )
+    return out.select(
+        "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
+
+
 def q_ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix completion from the durable store's dictionary: top
     terms starting with 's' by document frequency (df DESC, term ASC).
@@ -1454,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_batch_topk": q_ft_bool_batch_topk,
         "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
         "ft_suggest": q_ft_suggest,
+        "ft_query_lang": q_ft_query_lang,
         "ft_related_terms": q_ft_related_terms,
         "ft_more_like_this": q_ft_more_like_this,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
@@ -1709,6 +1731,58 @@ def oracle_sql() -> dict[str, str]:
           WHERE co.df_co >= 2
           ORDER BY ratio DESC, term ASC LIMIT {FT_K}
         ) ORDER BY ratio DESC, term ASC
+    """
+
+    # query-lang: the boolean arms (SHOULD spark / MUST join / MUST_NOT
+    # row) compose with the phrase "table hash" match set as a
+    # doc_id IN filter BEFORE the top-k cut — mirroring search_query's
+    # semi-join placement
+    sqls["ft_query_lang"] = f"""
+        WITH d AS (
+          SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) AS pos
+          FROM d
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ('join', 'spark') GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+           p2 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+        ph AS (
+          SELECT DISTINCT p1.doc_id FROM p1 JOIN p2
+            ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score,
+                 count(DISTINCT CASE WHEN tf.term = 'join'
+                       THEN tf.term END) AS must_hits
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s GROUP BY 1
+        )
+        SELECT rank, doc_id, round(score, 4) AS score FROM (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                 doc_id, score
+          FROM scores
+          WHERE must_hits = 1
+            AND doc_id NOT IN (
+              SELECT DISTINCT doc_id FROM tok WHERE term = 'row')
+            AND doc_id IN (SELECT doc_id FROM ph)
+          ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
     """
 
     # prefix suggest: df = count of docs CONTAINING the term (distinct),

@@ -1019,6 +1019,18 @@ class CorpusHandle:
             self.conn.spark, self._store(), weights, k=k
         )
 
+    def search_query(
+        self, q: str, k: int = 10, positional=None
+    ) -> DataFrame:
+        """Lucene-style query string ('term +must -not "a phrase"')
+        compiled onto this corpus's store -> (rank, doc_id, score);
+        phrase clauses need a PositionalStore passed as `positional`."""
+        from .fulltext.qlang import search_query_segments
+
+        return search_query_segments(
+            self.conn.spark, self._store(), q, k=k, positional=positional
+        )
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion over this corpus's vocabulary: top-k terms
         starting with `prefix` by live document frequency -> (term,

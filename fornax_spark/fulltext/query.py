@@ -125,10 +125,16 @@ def search_boolean(
     must: str = "",
     must_not: str = "",
     k: int = 10,
+    require_docs: DataFrame | None = None,
+    exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Boolean-filtered BM25 -> (rank, doc_id, score): hits must contain
     ALL `must` terms and NONE of `must_not`; ranking is BM25 over
     must ∪ should terms (Lucene's MUST/SHOULD/MUST_NOT contract).
+    `require_docs` / `exclude_docs` (optional one-column doc_id
+    DataFrames, e.g. phrase-match sets from the positional index) are
+    applied as semi/anti joins BEFORE the top-k cut, so ranking over
+    the composed candidate set stays exact.
 
     ONE postings scan serves all three roles: every term (including the
     exclusions) goes into the same broadcast term join, so the pushed
@@ -180,6 +186,14 @@ def search_boolean(
     hits = per_doc.filter(
         (F.col("must_hits") == len(m)) & (F.col("banned") == 0)
     )
+    if require_docs is not None:
+        hits = hits.join(
+            require_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    if exclude_docs is not None:
+        hits = hits.join(
+            exclude_docs.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
     topk = hits.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     # UNPARTITIONED window — safe ONLY on the k-row limit() output
     # (same contract as wand.py's rank window)
