@@ -609,6 +609,28 @@ def q_ft_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FT_MLT_BATCH_DOCS = (7, 11, 42)
+
+
+def q_ft_mlt_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this for a whole result page (docs 7, 11, 42) in ONE
+    plan: term selection for every source doc in one pass, one batch
+    scorer, per-query source exclusion before the final re-rank."""
+    from fornax_spark.fulltext.query import more_like_this_batch
+
+    out = more_like_this_batch(
+        spark,
+        _ft_index(spark, sf_dir),
+        list(FT_MLT_BATCH_DOCS),
+        k=FT_K,
+        max_terms=FT_MLT_TERMS,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def q_ft_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-searches primitive: terms most associated with 'spark'
     by PMI over document co-occurrence. Ordered by the PMI argument
@@ -1478,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_query_lang": q_ft_query_lang,
         "ft_related_terms": q_ft_related_terms,
         "ft_more_like_this": q_ft_more_like_this,
+        "ft_mlt_batch": q_ft_mlt_batch,
         "ft_bm25_topk_weighted": q_ft_bm25_topk_weighted,
         "ft_postings_store": q_ft_postings_store,
         "ft_search_facets": q_ft_search_facets,
@@ -1700,6 +1723,67 @@ def oracle_sql() -> dict[str, str]:
                  doc_id, score
           FROM scores ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
         ) ORDER BY rank
+    """
+
+    # batched more-like-this: one (qterms, hits) CTE pair per source
+    # doc — generated from FT_MLT_BATCH_DOCS — over shared tok/dl/
+    # stats/alldf CTEs, UNION ALL under query_id, rank windowed per
+    # query. Same per-arm structure as ft_more_like_this.
+    _mlt_arms = []
+    for _qid, _d in enumerate(FT_MLT_BATCH_DOCS):
+        _mlt_arms.append(f"""
+        q{_qid} AS (
+          SELECT term FROM (
+            SELECT t.term,
+                   t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS w
+            FROM (
+              SELECT term, count(*)::DOUBLE AS tf FROM tok
+              WHERE doc_id = {_d} GROUP BY 1
+            ) t JOIN alldf d USING (term) CROSS JOIN stats s
+            ORDER BY w DESC, term ASC LIMIT {FT_MLT_TERMS}
+          )
+        ), h{_qid} AS (
+          SELECT {_qid} AS query_id, tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM (
+            SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+            WHERE term IN (SELECT term FROM q{_qid}) GROUP BY 1, 2
+          ) tf JOIN alldf d USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+          WHERE tf.doc_id <> {_d}
+          GROUP BY 1, 2
+        )""")
+    _mlt_union = " UNION ALL ".join(
+        f"SELECT * FROM h{i}" for i in range(len(FT_MLT_BATCH_DOCS))
+    )
+    sqls["ft_mlt_batch"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), alldf AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+          FROM tok GROUP BY 1
+        ), {",".join(_mlt_arms)}
+        SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+               doc_id, round(score, 4) AS score
+        FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+          FROM ({_mlt_union})
+        )
+        WHERE rank <= {FT_K}
+        ORDER BY query_id, rank
     """
 
     # related terms by PMI: tok is DISTINCT (doc_id, term); the order

@@ -531,5 +531,79 @@ def more_like_this(
     )
 
 
+def more_like_this_batch(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    doc_ids: list[int],
+    k: int = 10,
+    max_terms: int = 10,
+) -> DataFrame:
+    """more_like_this for a WHOLE result page in one plan ->
+    (query_id, rank, doc_id, score), query_id = position in `doc_ids`.
+
+    Term selection for every source doc happens in ONE pass (pushed
+    doc_id isin filter + a query_id-partitioned rank window over the
+    sources' postings only); the selected (query_id, term) rows —
+    ≤ N·max_terms by construction — feed the standard batch scorer,
+    and the source docs are excluded per query BEFORE the final
+    re-rank (over ≤ k+1 rows per query). Per-query results equal
+    more_like_this bit for bit; an unknown source doc yields no rows
+    for its query_id."""
+    if not doc_ids:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    n = float(idx.stats.n_docs)
+    src = spark.createDataFrame(
+        [(i, int(d)) for i, d in enumerate(doc_ids)],
+        "query_id int, src_doc long",
+    )
+    w_sel = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    sel = (
+        idx.postings.filter(
+            F.col("doc_id").isin([int(d) for d in set(doc_ids)])
+        )
+        .join(F.broadcast(src), F.col("doc_id") == F.col("src_doc"))
+        .join(idx.term_stats, "term")
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.log(
+                F.lit(1.0)
+                + (F.lit(n) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn("r", F.row_number().over(w_sel))
+        .filter(F.col("r") <= max_terms)
+        .select("query_id", "term")
+        .collect()  # ≤ N·max_terms rows — query building, not retrieval
+    )
+    if not sel:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qterms = spark.createDataFrame(
+        [(int(r["query_id"]), r["term"], k + 1) for r in sel],
+        "query_id int, term string, k int",
+    )
+    hits = (
+        score_batch(idx, qterms)
+        .join(F.broadcast(src), "query_id")
+        .filter(F.col("doc_id") != F.col("src_doc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -308,3 +308,34 @@ def test_hybrid_batch_equals_per_query(spark, corpus, tmp_path):
         for (_, _, a), (_, _, b) in zip(got, single):
             assert abs(a - b) < 1e-12
     assert hybrid_topk_batch_segments(spark, store, emb, [], k=5).count() == 0
+
+
+def test_mlt_batch_equals_per_doc(spark, corpus):
+    from fornax_spark.fulltext.query import more_like_this, more_like_this_batch
+
+    docs, idx = corpus
+    doc_ids = [5, 17, 10**9, 5]  # incl. unknown + duplicate source
+    out = more_like_this_batch(
+        spark, idx, doc_ids, k=6, max_terms=4
+    ).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    assert 2 not in by_qid  # unknown source -> no rows
+    for qid, d in enumerate(doc_ids):
+        single = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in more_like_this(
+                spark, idx, d, k=6, max_terms=4
+            ).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [(r, x) for r, x, _ in got] == [
+            (r, x) for r, x, _ in single
+        ], f"query {qid}"
+        for (_, _, a), (_, _, b) in zip(got, single):
+            assert abs(a - b) < 1e-9
+    assert by_qid[0] == by_qid[3]  # duplicate sources agree
+    assert more_like_this_batch(spark, idx, [], k=3).count() == 0
