@@ -554,6 +554,28 @@ FT_BOOL_BATCH = (
 )
 
 
+FT_WEIGHTED_BATCH = (
+    {"spark": 1.0, "join": 0.5},
+    {"table": 0.25, "hash": 1.0, "scan": 0.75},
+    {},
+    {"window": 0.9},
+)
+
+
+def q_ft_weighted_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL weighted queries of FT_WEIGHTED_BATCH in ONE plan, served
+    from the durable store (query 2 is empty -> no rows for it)."""
+    from fornax_spark.fulltext.wand import search_weighted_batch_segments
+
+    out = search_weighted_batch_segments(
+        spark, _ft_store(spark, sf_dir), list(FT_WEIGHTED_BATCH), k=FT_K
+    )
+    return out.select(
+        "query_id", "rank", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def q_ft_bool_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL boolean queries of FT_BOOL_BATCH in ONE plan:
     (query_id, rank, doc_id, score), rank windowed per query."""
@@ -1496,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_topk_boolean_segments": q_ft_bm25_topk_boolean_segments,
         "ft_bool_batch_topk": q_ft_bool_batch_topk,
         "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
+        "ft_weighted_batch_topk": q_ft_weighted_batch_topk,
         "ft_suggest": q_ft_suggest,
         "ft_query_lang": q_ft_query_lang,
         "ft_related_terms": q_ft_related_terms,
@@ -1676,6 +1699,59 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """
     sqls["ft_bool_batch_topk_segments"] = sqls["ft_bool_batch_topk"]
+
+    # batched weighted: one UNION ALL arm per non-empty query over
+    # shared tf/df CTEs, per-arm CASE weights — generated from the same
+    # FT_WEIGHTED_BATCH constants the Spark entry uses
+    _wb_all_terms = sorted({t for q in FT_WEIGHTED_BATCH for t in q})
+    _wb_arms = []
+    for _qid, _q in enumerate(FT_WEIGHTED_BATCH):
+        if not _q:
+            continue
+        _case = " ".join(
+            f"WHEN '{t}' THEN {float(_q[t])!r}" for t in sorted(_q)
+        )
+        _wb_arms.append(
+            f"SELECT {_qid} AS query_id, t.doc_id, sum("
+            f"(CASE t.term {_case} END)"
+            f" * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))"
+            f" * t.tf * (1.2 + 1)"
+            f" / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            f") AS score"
+            f" FROM all_tf t JOIN df USING (term) JOIN dl USING (doc_id)"
+            f" CROSS JOIN stats s"
+            f" WHERE t.term IN ({_in(sorted(_q))})"
+            f" GROUP BY 1, 2"
+        )
+    sqls["ft_weighted_batch_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), all_tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok
+          WHERE term IN ({_in(_wb_all_terms)}) GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM all_tf GROUP BY 1
+        ), hits AS (
+          {" UNION ALL ".join(_wb_arms)}
+        )
+        SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+               doc_id, round(score, 4) AS score
+        FROM (
+          SELECT query_id, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+          FROM hits
+        )
+        WHERE rank <= {FT_K}
+        ORDER BY query_id, rank
+    """
 
     # more-like-this: the term-selection stage (top tf·idf terms of the
     # source doc, ties term ASC) is replicated in SQL, then the

@@ -266,6 +266,78 @@ def search_weighted(
     ).select("rank", "doc_id", "score")
 
 
+def search_weighted_batch(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    queries: list[dict[str, float]],
+    k: int = 10,
+) -> DataFrame:
+    """ALL term-weighted queries in ONE plan -> (query_id, rank,
+    doc_id, score); `queries[i]` is {term: weight}, query_id the list
+    index. Same semantics and (0, 1] weight contract as
+    search_weighted per query; one broadcast of the exploded
+    (query_id, term, w) rows against a single postings scan, score
+    accumulated in ascending term order per (query_id, doc_id), rank
+    window PARTITIONED by query_id. An empty dict yields no rows for
+    its query_id."""
+    rows = []
+    for qid, weights in enumerate(queries):
+        terms = {}
+        for t, wgt in weights.items():
+            toks = tokenize(t)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"search_weighted_batch: query {qid}: {t!r} is not "
+                    "a single term"
+                )
+            if not 0.0 < float(wgt) <= 1.0:
+                raise ValueError(
+                    f"search_weighted_batch: query {qid}: weight for "
+                    f"{t!r} must be in (0, 1], got {wgt}"
+                )
+            terms[toks[0]] = float(wgt)
+        rows += [(qid, t, w) for t, w in sorted(terms.items())]
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qt = F.broadcast(
+        spark.createDataFrame(
+            rows, "query_id int, term string, w double"
+        )
+    )
+    tstats = F.broadcast(
+        idx.term_stats.join(qt.select("term").distinct(), "term", "inner")
+    )
+    cand = (
+        idx.postings.join(qt, "term", "inner")
+        .join(tstats, "term", "inner")
+        .withColumn(
+            "s",
+            F.col("w")
+            * _score_udf(idx.stats.n_docs, idx.stats.avgdl)(
+                F.col("tf"), F.col("dl"), F.col("df")
+            ),
+        )
+    )
+    per_doc = cand.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def search_boolean_batch(
     spark: SparkSession,
     idx: InvertedIndex,

@@ -630,6 +630,23 @@ def search_boolean_batch_segments(
     return search_boolean_batch(spark, idx, queries, k=k)
 
 
+def search_weighted_batch_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    queries: list[dict],
+    k: int = 10,
+) -> DataFrame:
+    """query.search_weighted_batch served from the durable segment
+    store (union of all queries' terms -> one decode_postings scan,
+    tombstone-shifted stats); equals the raw-index batch bit for
+    bit."""
+    from .query import search_weighted_batch
+
+    terms = sorted({t for q in queries for t in tokenize(" ".join(q))})
+    idx = _store_as_index(spark, store, terms)
+    return search_weighted_batch(spark, idx, queries, k=k)
+
+
 def hybrid_topk_segments(
     spark: SparkSession,
     store: SegmentStore,

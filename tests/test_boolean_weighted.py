@@ -321,3 +321,47 @@ def test_boolean_batch_equals_per_query(spark, corpus):
             spark, idx, [{"should": "spark", "must_not": "spark"}]
         )
     assert search_boolean_batch(spark, idx, [{}, {}]).count() == 0
+
+
+def test_weighted_batch_equals_per_query(spark, corpus, tmp_path):
+    """search_weighted_batch == per-query search_weighted; store form
+    == index form; weight/term contract violations raise."""
+    from fornax_spark.fulltext.query import search_weighted_batch
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_weighted_batch_segments
+
+    docs, idx = corpus
+    queries = [
+        {"spark": 1.0, "join": 0.5},
+        {"table": 0.25, "hash": 1.0, "scan": 0.75},
+        {},
+        {"WINDOW": 0.9},  # normalization
+    ]
+    out = search_weighted_batch(spark, idx, queries, k=8).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    assert 2 not in by_qid
+    for qid, q in enumerate(queries):
+        if not q:
+            continue
+        single = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in search_weighted(spark, idx, q, k=8).collect()
+        ]
+        got = by_qid.get(qid, [])
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in single]
+        for (_, _, a), (_, _, b) in zip(got, single):
+            assert abs(a - b) < 1e-12
+
+    store = build_segments(spark, idx, str(tmp_path / "wb"), n_buckets=8)
+    a = search_weighted_batch_segments(spark, store, queries, k=8).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in out]
+
+    with pytest.raises(ValueError, match="0, 1"):
+        search_weighted_batch(spark, idx, [{"spark": 1.5}])
+    with pytest.raises(ValueError, match="single term"):
+        search_weighted_batch(spark, idx, [{"two terms": 0.5}])
+    assert search_weighted_batch(spark, idx, [{}, {}]).count() == 0
