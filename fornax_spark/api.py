@@ -1019,16 +1019,67 @@ class CorpusHandle:
             self.conn.spark, self._store(), weights, k=k
         )
 
+    def build_positional(
+        self,
+        df: DataFrame,
+        doc_id_col: str = "doc_id",
+        text_col: str = "text",
+        n_partitions: int = 32,
+    ) -> "CorpusHandle":
+        """Build this corpus's positional SIDECAR store (phrase /
+        proximity / snippet serving) from the same (doc_id, text)
+        table the segment store was built from. Registered under its
+        own registry row (kind="positional", name
+        "<corpus>__positional") so it survives segment-store
+        generation swaps (compact/add_docs write NEW segment dirs);
+        cascaded by delete(). NOTE: the sidecar is an independent
+        store — corpus delete_docs/add_docs/compact do NOT rewrite it;
+        apply the PositionalStore's own LSM verbs to keep it in sync,
+        or rebuild it."""
+        from .fulltext.positional import write_positional_store
+
+        reg = self._registry()
+        name = f"{self.name}__positional"
+        try:
+            _, path = reg.create(name, kind="positional")
+        except ValueError:
+            raise ValueError(
+                f"corpus {self.name!r} already has a positional sidecar"
+            ) from None
+        write_positional_store(
+            self.conn.spark,
+            df.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.col(text_col).alias("text"),
+            ),
+            path,
+            n_partitions=n_partitions,
+        )
+        return self
+
+    def _positional(self):
+        """The positional sidecar's PositionalStore, or None."""
+        try:
+            return self._registry().open(f"{self.name}__positional")
+        except KeyError:
+            return None
+
     def search_query(
         self, q: str, k: int = 10, positional=None
     ) -> DataFrame:
         """Lucene-style query string ('term +must -not "a phrase"')
         compiled onto this corpus's store -> (rank, doc_id, score);
-        phrase clauses need a PositionalStore passed as `positional`."""
+        phrase clauses use `positional` when given, else the corpus's
+        own positional sidecar (build_positional)."""
         from .fulltext.qlang import search_query_segments
 
         return search_query_segments(
-            self.conn.spark, self._store(), q, k=k, positional=positional
+            self.conn.spark,
+            self._store(),
+            q,
+            k=k,
+            positional=positional if positional is not None
+            else self._positional(),
         )
 
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
@@ -1229,9 +1280,58 @@ class CorpusHandle:
         """Cascading delete: registry row + store directory + any
         published bucketed table (catalog entry AND its warehouse files
         — without this the stale table stays queryable after the corpus
-        is gone and its parquet leaks in the warehouse)."""
+        is gone and its parquet leaks in the warehouse) + the
+        positional sidecar's row and files when one was built."""
         self._drop_bucketed_table()
+        reg = self._registry()
+        sidecar = f"{self.name}__positional"
         self._registry().delete(self.corpus_id)
+        try:
+            reg.delete(sidecar)
+        except KeyError:
+            pass
+
+    def describe(self) -> dict:
+        """Driver-side store introspection (no Spark job): corpus and
+        store metadata assembled from the registry row, the ledger,
+        the tombstone file, the bucketed manifest, and the positional
+        sidecar row."""
+        from .fulltext.segments import _bucketed_manifest_path
+
+        row = self._row()
+        out = {
+            "name": row["name"],
+            "corpus_id": self.corpus_id,
+            "path": row["path"],
+            "built": self._built(),
+        }
+        lp = os.path.join(row["path"], "ledger.json")
+        if os.path.exists(lp):
+            with open(lp) as f:
+                led = json.load(f)
+            stats = led.get("stats") or {}
+            out.update(
+                n_docs=stats.get("n_docs"),
+                avgdl=stats.get("avgdl"),
+                vocab_terms=led.get("vocab_terms"),
+                codec=led.get("codec", "varint"),
+                parquet_codec=led.get("parquet_codec"),
+                df_attach=led.get("df_attach"),
+            )
+        tp = os.path.join(row["path"], "tombstones.json")
+        if os.path.exists(tp):
+            with open(tp) as f:
+                out["n_tombstoned"] = json.load(f).get("n_deleted")
+        out["store_bytes"] = sum(
+            os.path.getsize(os.path.join(d, fn))
+            for d, _, fns in os.walk(row["path"])
+            for fn in fns
+        )
+        out["published_bucketed"] = os.path.exists(
+            _bucketed_manifest_path(row["path"])
+        )
+        out["has_positional"] = self._positional() is not None
+        return out
 
     def _drop_bucketed_table(self) -> None:
         from .fulltext.segments import _bucketed_manifest_path

@@ -173,3 +173,43 @@ def test_search_query_segments_matches_index(spark, qcorpus, tmp_path):
     ]
     for ra, rb in zip(a, b):
         assert abs(ra["score"] - rb["score"]) < 1e-9
+
+
+def test_facade_positional_sidecar(spark, tmp_path):
+    """build_positional registers a sidecar; search_query auto-uses it
+    for phrase clauses; describe() reports store metadata; delete()
+    cascades the sidecar row and files."""
+    from fornax_spark import Connection
+
+    conn = Connection(str(tmp_path / "fx"), spark)
+    docs = _mk_docs(150, seed=31)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    c = conn.create_corpus("pages").build(df, n_buckets=4)
+    q = 'spark +join "table hash"'
+    with pytest.raises(ValueError, match="positional"):
+        c.search_query(q)  # phrase clause, no sidecar yet
+    c.build_positional(df)
+    got = c.search_query(q, k=6).collect()
+    idx = build_index_from_table(df, "doc_id", "text")
+    pos = build_positional_postings(df)
+    want = search_query(spark, idx, q, k=6, positional_postings=pos).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (r["rank"], r["doc_id"]) for r in want
+    ]
+    assert len(got) > 0
+    with pytest.raises(ValueError, match="already has"):
+        c.build_positional(df)
+
+    d = c.describe()
+    assert d["built"] and d["has_positional"]
+    assert d["n_docs"] == 150 and d["store_bytes"] > 0
+    assert d["codec"] == "varint" and d["published_bucketed"] is False
+
+    sidecar_path = c._registry().open("pages__positional").path
+    import os as _os
+
+    assert _os.path.exists(sidecar_path)
+    c.delete()
+    assert not _os.path.exists(sidecar_path)
+    with pytest.raises(KeyError):
+        conn._fulltext_registry().open("pages__positional")
