@@ -1223,6 +1223,28 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_ann_cosine_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for FOUR query vectors (embeddings vec_id
+    0..3) in ONE corpus scan via cosine_topk_batch (Arrow kernel
+    computes every query's cosine block, local top-depth per batch,
+    query_id-partitioned final window)."""
+    from fornax_spark.operators.similarity import cosine_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qv = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return (
+        cosine_topk_batch(emb, [qv[i] for i in range(4)], depth=FT_K)
+        .select("query_id", "rank", "id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 (FT_QUERY over documents) ∧ exact
     embedding-cosine (query = vec_id 0) fused by Reciprocal Rank
@@ -1558,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_verified_pairs": q_simhash_verified_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_batch_topk": q_ann_cosine_batch_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_verified_topk": q_ann_lsh_verified_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2724,6 +2747,33 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE rank <= {FT_K}
         ORDER BY query_id, rank
+    """
+
+    # batch cosine kernel: per-query brute-force rank lists; ranks on
+    # the 6-dp-rounded cosine (the engine contract — cosine_scores
+    # rounds before cosine_topk orders)
+    sqls["ann_cosine_batch_topk"] = f"""
+        WITH qmap(query_id, qvec_id) AS (
+          VALUES (0, 0), (1, 1), (2, 2), (3, 3)
+        ), qv AS (
+          SELECT m.query_id, e.embedding::DOUBLE[] AS v
+          FROM qmap m JOIN embeddings e ON e.vec_id = m.qvec_id
+        )
+        SELECT CAST(query_id AS INT) AS query_id, CAST(r AS INT) AS rank,
+               id, cosine
+        FROM (
+          SELECT q.query_id, e.vec_id AS id,
+                 round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.v), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(
+                     e.embedding::DOUBLE[], q.v), 6) DESC,
+                   e.vec_id ASC) AS r
+          FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0
+        )
+        WHERE r <= {FT_K}
+        ORDER BY query_id, r
     """
 
     # exact O(n^2) oracle for the LSH-bucketed near-dup entry; the same

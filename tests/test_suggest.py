@@ -339,3 +339,32 @@ def test_mlt_batch_equals_per_doc(spark, corpus):
             assert abs(a - b) < 1e-9
     assert by_qid[0] == by_qid[3]  # duplicate sources agree
     assert more_like_this_batch(spark, idx, [], k=3).count() == 0
+
+
+def test_cosine_topk_batch_equals_per_query(spark):
+    from fornax_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((250, 12))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(250)],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)  # several Arrow batches -> local-topk merge path
+    qs = [[float(x) for x in rng.standard_normal(12)] for _ in range(3)]
+    out = cosine_topk_batch(emb, qs, depth=9).collect()
+    by_qid: dict[int, list] = {}
+    for r in out:
+        by_qid.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["cosine"])
+        )
+    for qid, q in enumerate(qs):
+        single = [
+            (i + 1, r["id"], r["cosine"])
+            for i, r in enumerate(cosine_topk(emb, q, k=9).collect())
+        ]
+        assert by_qid[qid] == single, f"query {qid}"
+    with pytest.raises(ValueError):
+        cosine_topk_batch(emb, [], depth=5)
