@@ -279,18 +279,16 @@ def q_ft_bm25_topk_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FT_LIFECYCLE_CACHE: dict[str, object] = {}
 
 
-def q_ft_bm25_topk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same query and oracle as ft_bm25_topk, answered from a corpus
-    that went through the FULL facade lifecycle (VERDICT r6 item 5):
+def _ft_lifecycle_corpus(spark: SparkSession, sf_dir: str):
+    """The full-lifecycle corpus handle (built once per sf_dir):
     build(90% of docs ∪ 50 junk docs stuffed with the query terms) ->
     add_docs(the held-out 10% as an LSM delta merge) -> delete_docs(the
     junk; tombstones + df deltas) -> compact() (fold into a new
-    generation) -> publish_bucketed -> search. Net content == the
-    documents table exactly, so the standard BM25 DuckDB oracle applies
-    verbatim — one green row gates delta merge, tombstone stats shift,
-    physical compaction, and the bucketed republish end to end. The
-    junk docs are not decorative: they contain the query terms, so a
-    leaked tombstone or a stale df would change the top-10."""
+    generation) -> publish_bucketed. Net content == the documents table
+    exactly, so every standard oracle applies verbatim to queries
+    answered from it. The junk docs are not decorative: they contain
+    the query terms, so a leaked tombstone or a stale df changes
+    results."""
     import re as _re
     import tempfile
 
@@ -319,10 +317,27 @@ def q_ft_bm25_topk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
         c.publish_bucketed(f"entry_lifecycle_store_{suffix}")
         _FT_LIFECYCLE_CACHE[sf_dir] = c
-    out = _FT_LIFECYCLE_CACHE[sf_dir].search(FT_QUERY, k=FT_K)
+    return _FT_LIFECYCLE_CACHE[sf_dir]
+
+
+def q_ft_bm25_topk_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query and oracle as ft_bm25_topk, answered from the
+    full-lifecycle corpus (VERDICT r6 item 5) — one green row gates
+    delta merge, tombstone stats shift, physical compaction, and the
+    bucketed republish end to end."""
+    out = _ft_lifecycle_corpus(spark, sf_dir).search(FT_QUERY, k=FT_K)
     return out.select(
         "rank", "doc_id", F.round(F.col("score"), 4).alias("score")
     )
+
+
+def q_ft_suggest_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ft_suggest answered from the full-lifecycle corpus: the deleted
+    junk docs are stuffed with 'spark' (an 's'-prefix term), so a
+    leaked tombstone df delta — through delta merge, compaction, and
+    the bucketed republish — would inflate the suggestion counts.
+    Shares ft_suggest's oracle."""
+    return _ft_lifecycle_corpus(spark, sf_dir).suggest("s", k=FT_K)
 
 
 def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1542,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_batch_topk_segments": q_ft_bool_batch_topk_segments,
         "ft_weighted_batch_topk": q_ft_weighted_batch_topk,
         "ft_suggest": q_ft_suggest,
+        "ft_suggest_lifecycle": q_ft_suggest_lifecycle,
         "ft_query_lang": q_ft_query_lang,
         "ft_related_terms": q_ft_related_terms,
         "ft_more_like_this": q_ft_more_like_this,
@@ -1978,6 +1994,10 @@ def oracle_sql() -> dict[str, str]:
         FROM tok WHERE term LIKE 's%'
         GROUP BY 1 ORDER BY df DESC, term ASC LIMIT {FT_K}
     """
+    # lifecycle corpus nets out to the documents table -> same oracle;
+    # the deleted junk docs contained 'spark', so a df leak anywhere in
+    # merge/tombstone/compact arithmetic breaks this row
+    sqls["ft_suggest_lifecycle"] = sqls["ft_suggest"]
 
     _w_terms = sorted(FT_WEIGHTS)
     _w_case = " ".join(
