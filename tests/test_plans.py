@@ -221,3 +221,27 @@ def test_decode_postings_pushes_term_filter(spark, tmp_path):
     plan = decode_postings(spark, store, ["alpha", "tok3"])._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term_id" in plan
     idx.postings.unpersist()
+
+
+def test_suggest_pushes_startswith_filter(spark, tmp_path):
+    """suggest_terms_segments' prefix filter must reach the dictionary
+    parquet scan as a pushed StringStartsWith (string-range row-group
+    pruning on the term-sorted dictionary)."""
+    from fornax_spark.fulltext.build import build_index_from_table
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import suggest_terms_segments
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 13}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    idx = build_index_from_table(docs)
+    store = build_segments(spark, idx, str(tmp_path / "sg"), n_buckets=4)
+    plan = (
+        suggest_terms_segments(spark, store, "tok", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "StartsWith(term,tok" in plan
+    idx.postings.unpersist()
