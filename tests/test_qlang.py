@@ -213,3 +213,60 @@ def test_facade_positional_sidecar(spark, tmp_path):
     assert not _os.path.exists(sidecar_path)
     with pytest.raises(KeyError):
         conn._fulltext_registry().open("pages__positional")
+
+
+def test_parse_query_properties():
+    """Property test: for any clause soup the parser (a) never leaves a
+    term both scored and banned without raising, (b) emits only
+    tokenizer-normalized single terms, (c) is deterministic, and
+    (d) round-trips a canonical rebuild of its own output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(VOCAB + ["Zebra", "toK9", "a-b", "x!"])
+    clause = st.one_of(
+        word,
+        word.map(lambda w: f"+{w}"),
+        word.map(lambda w: f"-{w}"),
+        st.tuples(word, word).map(lambda t: f'"{t[0]} {t[1]}"'),
+        st.tuples(word, word).map(lambda t: f'-"{t[0]} {t[1]}"'),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(clause, min_size=0, max_size=8))
+    def check(clauses):
+        q = " ".join(clauses)
+        try:
+            p = parse_query(q)
+        except ValueError:
+            return  # scored-and-banned soup is allowed to raise
+        for t in p.should + p.must + p.must_not:
+            assert tokenize(t) == [t]
+        assert not (set(p.should) | set(p.must)) & set(p.must_not)
+        assert not set(p.should) & set(p.must)
+        assert p.should == sorted(set(p.should))
+        p2 = parse_query(q)
+        assert (p2.should, p2.must, p2.must_not, p2.phrases,
+                p2.neg_phrases) == (
+            p.should, p.must, p.must_not, p.phrases, p.neg_phrases
+        )
+        # canonical rebuild of the parse re-parses to the same clauses
+        rebuilt = " ".join(
+            [f"+{t}" for t in p.must]
+            + p.should
+            + [f"-{t}" for t in p.must_not]
+            + ['"%s"' % " ".join(ph) for ph in p.phrases]
+            + ['-"%s"' % " ".join(ph) for ph in p.neg_phrases]
+        )
+        p3 = parse_query(rebuilt)
+        assert (p3.should, p3.must, p3.must_not) == (
+            p.should, p.must, p.must_not
+        )
+        assert sorted(map(tuple, p3.phrases)) == sorted(
+            map(tuple, p.phrases)
+        )
+        assert sorted(map(tuple, p3.neg_phrases)) == sorted(
+            map(tuple, p.neg_phrases)
+        )
+
+    check()
