@@ -680,6 +680,30 @@ def q_ft_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_search_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-collapsed search — the deduplicated SERP: the exact
+    n-gram Jaccard near-dup clusters (dedup_clusters' machinery) feed
+    search_collapsed, so each result slot holds one cluster's best
+    FT_QUERY hit; suppressed duplicates free their slots exactly."""
+    from fornax_spark.fulltext.query import search_collapsed
+    from fornax_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+    out = search_collapsed(
+        spark,
+        _ft_index(spark, sf_dir),
+        FT_QUERY,
+        dup_clusters(pairs),
+        k=FT_K,
+    )
+    return out.select(
+        "rank", "cluster_id", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 FT_QLANG = 'spark +join -row "table hash"'
 
 
@@ -1559,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_suggest_lifecycle": q_ft_suggest_lifecycle,
         "ft_query_lang": q_ft_query_lang,
+        "ft_search_collapsed": q_ft_search_collapsed,
         "ft_related_terms": q_ft_related_terms,
         "ft_more_like_this": q_ft_more_like_this,
         "ft_mlt_batch": q_ft_mlt_batch,
@@ -2606,6 +2631,57 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
         ) x ON d.doc_id = x.doc_id
         WHERE x.doc_id IS NULL
+    """
+    )
+
+    # duplicate-collapsed search: the SAME recursive closure provides
+    # the cluster map; BM25 scores (FT_QUERY) attach via LEFT JOIN
+    # (singletons = own doc_id), per-cluster argmax by (score DESC,
+    # doc_id ASC), collapse BEFORE the top-k cut
+    sqls["ft_search_collapsed"] = (
+        sqls["dedup_clusters"].rstrip()[: -len(
+            "SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"
+        )]
+        + f""", clusters AS (
+          SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1
+        ), bstats AS (
+          SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT coalesce(sum(dl), 0) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl
+        ), tf AS (
+          SELECT term, doc_id, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+          WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 ) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN bstats s GROUP BY 1
+        ), collapsed AS (
+          SELECT cluster_id, doc_id, score FROM (
+            SELECT coalesce(c.cluster_id, sc.doc_id) AS cluster_id,
+                   sc.doc_id, sc.score,
+                   row_number() OVER (
+                     PARTITION BY coalesce(c.cluster_id, sc.doc_id)
+                     ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+            FROM scores sc LEFT JOIN clusters c USING (doc_id)
+          ) WHERE rn = 1
+        )
+        SELECT rank, cluster_id, doc_id, round(score, 4) AS score FROM (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                 cluster_id, doc_id, score
+          FROM collapsed ORDER BY score DESC, doc_id ASC LIMIT {FT_K}
+        ) ORDER BY rank
     """
     )
 

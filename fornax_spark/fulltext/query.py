@@ -603,6 +603,81 @@ def more_like_this(
     )
 
 
+def search_collapsed(
+    spark: SparkSession,
+    idx: InvertedIndex,
+    query_text: str,
+    clusters: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Duplicate-collapsed BM25 top-k — the deduplicated-SERP verb:
+    ONE result per near-duplicate cluster (its best-scoring member,
+    ties doc_id ASC) -> (rank, cluster_id, doc_id, score).
+
+    `clusters` carries (doc_id, cluster_id) for CLUSTERED docs
+    (dedup.dup_clusters' output shape); docs absent from it are
+    singletons (cluster_id = own doc_id). The collapse happens BEFORE
+    the top-k cut, so suppressed duplicates free their slots exactly.
+
+    Scale shape: scoring is the standard pushed-term-filter candidate
+    aggregation; the cluster map joins on doc_id over the candidate
+    set only (never the corpus), and the per-cluster argmax is one
+    more map-side-combinable agg. The scores equal search()'s
+    bit for bit (same ascending-term fold)."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return spark.createDataFrame(
+            [], "rank int, cluster_id long, doc_id long, score double"
+        )
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in terms], "term string")
+    )
+    tstats = F.broadcast(idx.term_stats.join(qt, "term", "inner"))
+    cand = (
+        idx.postings.join(qt, "term", "inner")
+        .join(tstats, "term", "inner")
+        .withColumn(
+            "s",
+            _score_udf(idx.stats.n_docs, idx.stats.avgdl)(
+                F.col("tf"), F.col("dl"), F.col("df")
+            ),
+        )
+    )
+    per_doc = cand.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    joined = per_doc.join(
+        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    # deterministic per-cluster argmax: min(struct(-score, doc_id)) ==
+    # (max score, then min doc_id); BM25 scores are strictly positive
+    # so the negation cannot hit the -0.0 == 0.0 corner
+    best = joined.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("neg"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("b")
+    ).select(
+        "cluster_id",
+        F.col("b.doc_id").alias("doc_id"),
+        (-F.col("b.neg")).alias("score"),
+    )
+    topk = best.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    # UNPARTITIONED window — safe ONLY on the k-row limit() output
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "cluster_id", "doc_id", "score")
+
+
 def more_like_this_batch(
     spark: SparkSession,
     idx: InvertedIndex,

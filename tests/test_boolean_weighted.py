@@ -365,3 +365,43 @@ def test_weighted_batch_equals_per_query(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="single term"):
         search_weighted_batch(spark, idx, [{"two terms": 0.5}])
     assert search_weighted_batch(spark, idx, [{}, {}]).count() == 0
+
+
+def test_search_collapsed_matches_reference(spark, corpus):
+    """Duplicate-collapsed search == python reference: one result per
+    cluster (best score, doc ASC tiebreak), singletons pass through,
+    collapse applies BEFORE the top-k cut."""
+    from fornax_spark.fulltext.query import search_collapsed
+
+    docs, idx = corpus
+    # hand-made clusters: every doc_id < 100 collapses into buckets of 5
+    cl = [(d, (d // 5) * 5) for d, _ in docs if d < 100]
+    clusters = spark.createDataFrame(cl, "doc_id long, cluster_id long")
+    weights = {"spark": 1.0, "join": 1.0, "window": 1.0}
+    full = _ref_topk(docs, weights, set(), set(), k=10**6)
+    cmap = dict(cl)
+    best: dict[int, tuple[int, float]] = {}
+    for d, s in full:  # full is (score DESC, doc ASC) ordered
+        c = cmap.get(d, d)
+        if c not in best:
+            best[c] = (d, s)
+    want = sorted(
+        ((c, d, s) for c, (d, s) in best.items()),
+        key=lambda x: (-x[2], x[1]),
+    )[:7]
+    got = [
+        (r["cluster_id"], r["doc_id"], r["score"])
+        for r in search_collapsed(
+            spark, idx, "spark join window", clusters, k=7
+        ).collect()
+    ]
+    assert [(c, d) for c, d, _ in got] == [(c, d) for c, d, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+    # ranks are 1..k and each cluster appears at most once
+    ranks = [r["rank"] for r in search_collapsed(
+        spark, idx, "spark join window", clusters, k=7).collect()]
+    assert ranks == list(range(1, len(got) + 1))
+    cs = [c for c, _, _ in got]
+    assert len(cs) == len(set(cs))
+    assert search_collapsed(spark, idx, "", clusters, k=5).count() == 0
