@@ -1082,6 +1082,18 @@ class CorpusHandle:
             else self._positional(),
         )
 
+    def search_collapsed(
+        self, query_text: str, clusters: DataFrame, k: int = 10
+    ) -> DataFrame:
+        """Duplicate-collapsed BM25 (one result per near-dup cluster)
+        served from this corpus's store; `clusters` is a (doc_id,
+        cluster_id) map — dedup.dup_clusters' output shape."""
+        from .fulltext.wand import search_collapsed_segments
+
+        return search_collapsed_segments(
+            self.conn.spark, self._store(), query_text, clusters, k=k
+        )
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion over this corpus's vocabulary: top-k terms
         starting with `prefix` by live document frequency -> (term,

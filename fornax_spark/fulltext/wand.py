@@ -630,6 +630,21 @@ def search_boolean_batch_segments(
     return search_boolean_batch(spark, idx, queries, k=k)
 
 
+def search_collapsed_segments(
+    spark: SparkSession,
+    store: SegmentStore,
+    query_text: str,
+    clusters,
+    k: int = 10,
+) -> DataFrame:
+    """query.search_collapsed served from the durable segment store
+    (pushed term_id decode, tombstone-shifted stats)."""
+    from .query import search_collapsed
+
+    idx = _store_as_index(spark, store, sorted(set(tokenize(query_text))))
+    return search_collapsed(spark, idx, query_text, clusters, k=k)
+
+
 def search_weighted_batch_segments(
     spark: SparkSession,
     store: SegmentStore,

@@ -405,3 +405,32 @@ def test_search_collapsed_matches_reference(spark, corpus):
     cs = [c for c, _, _ in got]
     assert len(cs) == len(set(cs))
     assert search_collapsed(spark, idx, "", clusters, k=5).count() == 0
+
+
+def test_search_collapsed_store_and_facade(spark, corpus, tmp_path):
+    """Store-served and facade collapsed search == the raw-index path."""
+    from fornax_spark import Connection
+    from fornax_spark.fulltext.query import search_collapsed
+    from fornax_spark.fulltext.segments import build_segments
+    from fornax_spark.fulltext.wand import search_collapsed_segments
+
+    docs, idx = corpus
+    clusters = spark.createDataFrame(
+        [(d, (d // 5) * 5) for d, _ in docs if d < 100],
+        "doc_id long, cluster_id long",
+    )
+    q = "spark join window"
+    want = search_collapsed(spark, idx, q, clusters, k=7).collect()
+    store = build_segments(spark, idx, str(tmp_path / "cs"), n_buckets=8)
+    a = search_collapsed_segments(spark, store, q, clusters, k=7).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in want]
+
+    conn = Connection(str(tmp_path / "fx"), spark)
+    c = conn.create_corpus("cs").build(
+        spark.createDataFrame(docs, "doc_id long, text string"), n_buckets=4
+    )
+    b = c.search_collapsed(q, clusters, k=7).collect()
+    assert [(r["rank"], r["cluster_id"], r["doc_id"]) for r in b] == [
+        (r["rank"], r["cluster_id"], r["doc_id"]) for r in want
+    ]
+    assert len(b) > 0
