@@ -434,3 +434,67 @@ def test_search_collapsed_store_and_facade(spark, corpus, tmp_path):
         (r["rank"], r["cluster_id"], r["doc_id"]) for r in want
     ]
     assert len(b) > 0
+
+
+def test_batch_verbs_random_parity(spark):
+    """Randomized sweep: over random corpora and random query batches,
+    batch boolean/weighted == their per-query forms (a seed-sweep
+    complement to the fixed-corpus parity tests)."""
+    from fornax_spark.fulltext.query import (
+        search_boolean_batch,
+        search_weighted_batch,
+    )
+
+    for seed in (101, 202):
+        rng = random.Random(seed)
+        docs = _mk_docs(rng.randint(40, 160), seed=seed)
+        idx = build_index_from_table(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text",
+        )
+        bqueries = []
+        for _ in range(5):
+            pool = rng.sample(VOCAB, rng.randint(1, 5))
+            n_m = rng.randint(0, min(2, len(pool)))
+            n_b = rng.randint(0, 1)
+            rest = pool[n_m:]
+            ban = rest[:n_b]
+            bqueries.append(
+                {
+                    "must": " ".join(pool[:n_m]),
+                    "should": " ".join(rest[n_b:]),
+                    "must_not": " ".join(ban),
+                }
+            )
+        out = search_boolean_batch(spark, idx, bqueries, k=6).collect()
+        by_qid: dict[int, list] = {}
+        for r in out:
+            by_qid.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        for qid, q in enumerate(bqueries):
+            single = [
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in search_boolean(spark, idx, **q, k=6).collect()
+            ]
+            assert by_qid.get(qid, []) == single, (seed, qid, q)
+
+        wqueries = [
+            {
+                t: round(rng.uniform(0.05, 1.0), 3)
+                for t in rng.sample(VOCAB, rng.randint(1, 4))
+            }
+            for _ in range(4)
+        ]
+        wout = search_weighted_batch(spark, idx, wqueries, k=6).collect()
+        wby: dict[int, list] = {}
+        for r in wout:
+            wby.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        for qid, q in enumerate(wqueries):
+            single = [
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in search_weighted(spark, idx, q, k=6).collect()
+            ]
+            assert wby.get(qid, []) == single, (seed, qid, q)
