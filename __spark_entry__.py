@@ -704,6 +704,31 @@ def q_ft_search_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_search_collapsed_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ft_search_collapsed served from the DURABLE segment store
+    (pushed term_id decode, tombstone-shifted stats); shares its
+    oracle."""
+    from fornax_spark.fulltext.wand import search_collapsed_segments
+    from fornax_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+    out = search_collapsed_segments(
+        spark,
+        _ft_store(spark, sf_dir),
+        FT_QUERY,
+        dup_clusters(pairs),
+        k=FT_K,
+    )
+    return out.select(
+        "rank", "cluster_id", "doc_id",
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 FT_QLANG = 'spark +join -row "table hash"'
 
 
@@ -1584,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest_lifecycle": q_ft_suggest_lifecycle,
         "ft_query_lang": q_ft_query_lang,
         "ft_search_collapsed": q_ft_search_collapsed,
+        "ft_search_collapsed_segments": q_ft_search_collapsed_segments,
         "ft_related_terms": q_ft_related_terms,
         "ft_more_like_this": q_ft_more_like_this,
         "ft_mlt_batch": q_ft_mlt_batch,
@@ -2684,6 +2710,10 @@ def oracle_sql() -> dict[str, str]:
         ) ORDER BY rank
     """
     )
+
+    # store-served collapsed search: same deterministic pipeline ->
+    # same oracle
+    sqls["ft_search_collapsed_segments"] = sqls["ft_search_collapsed"]
 
     sqls["ann_cosine_topk"] = """
         WITH q AS (

@@ -1082,6 +1082,49 @@ class CorpusHandle:
             else self._positional(),
         )
 
+    def search_boolean_batch(
+        self, queries: list[dict], k: int = 10
+    ) -> DataFrame:
+        """All boolean queries of a batch in ONE plan from this
+        corpus's store (queries[i]: {"should","must","must_not"}) ->
+        (query_id, rank, doc_id, score)."""
+        from .fulltext.wand import search_boolean_batch_segments
+
+        return search_boolean_batch_segments(
+            self.conn.spark, self._store(), queries, k=k
+        )
+
+    def search_weighted_batch(
+        self, queries: list[dict], k: int = 10
+    ) -> DataFrame:
+        """All term-weighted queries of a batch in ONE plan from this
+        corpus's store (queries[i]: {term: weight in (0,1]})."""
+        from .fulltext.wand import search_weighted_batch_segments
+
+        return search_weighted_batch_segments(
+            self.conn.spark, self._store(), queries, k=k
+        )
+
+    def search_hybrid_batch(
+        self,
+        queries: list[dict],
+        emb: DataFrame,
+        k: int = 10,
+        depth: int = 50,
+        k_rrf: int = 60,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """A whole hybrid query log in ONE plan (queries[i]:
+        {"text": str, "vec": list[float]}) — lexical legs share one
+        pushed decode, dense legs share one embedding scan."""
+        from .fulltext.wand import hybrid_topk_batch_segments
+
+        return hybrid_topk_batch_segments(
+            self.conn.spark, self._store(), emb, queries,
+            k=k, depth=depth, k_rrf=k_rrf, id_col=id_col, vec_col=vec_col,
+        )
+
     def search_collapsed(
         self, query_text: str, clusters: DataFrame, k: int = 10
     ) -> DataFrame:

@@ -498,3 +498,47 @@ def test_batch_verbs_random_parity(spark):
                 for r in search_weighted(spark, idx, q, k=6).collect()
             ]
             assert wby.get(qid, []) == single, (seed, qid, q)
+
+
+def test_facade_batch_verbs(spark, corpus, tmp_path):
+    """CorpusHandle.search_boolean_batch / search_weighted_batch /
+    search_hybrid_batch == the direct store calls."""
+    from fornax_spark import Connection
+    from fornax_spark.fulltext.wand import (
+        hybrid_topk_batch_segments,
+        search_boolean_batch_segments,
+        search_weighted_batch_segments,
+    )
+
+    docs, _ = corpus
+    conn = Connection(str(tmp_path / "fx"), spark)
+    c = conn.create_corpus("bv").build(
+        spark.createDataFrame(docs, "doc_id long, text string"), n_buckets=4
+    )
+    store = c._store()
+
+    bq = [{"should": "spark join", "must": "table"}, {"must": "hash"}]
+    a = c.search_boolean_batch(bq, k=6).collect()
+    b = search_boolean_batch_segments(spark, store, bq, k=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+    wq = [{"spark": 1.0, "join": 0.5}, {"scan": 0.75}]
+    aw = c.search_weighted_batch(wq, k=6).collect()
+    bw = search_weighted_batch_segments(spark, store, wq, k=6).collect()
+    assert [tuple(r) for r in aw] == [tuple(r) for r in bw] and aw
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((len(docs), 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(1, len(docs))],
+        "vec_id long, embedding array<float>",
+    )
+    hq = [
+        {"text": "spark join", "vec": [float(x) for x in vecs[0]]},
+        {"text": "table", "vec": [float(x) for x in vecs[1]]},
+    ]
+    ah = c.search_hybrid_batch(hq, emb, k=5, depth=15).collect()
+    bh = hybrid_topk_batch_segments(
+        spark, store, emb, hq, k=5, depth=15
+    ).collect()
+    assert [tuple(r) for r in ah] == [tuple(r) for r in bh] and ah
