@@ -1137,6 +1137,54 @@ class CorpusHandle:
             self.conn.spark, self._store(), query_text, clusters, k=k
         )
 
+    def serp(
+        self,
+        query_text: str,
+        docs: DataFrame,
+        k: int = 10,
+        pad: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        positional=None,
+    ) -> DataFrame:
+        """The full result page in one call: BM25 top-k from the store
+        + a padded minimal-covering-window snippet per hit from the
+        positional sidecar -> (rank, doc_id, score, snippet).
+
+        `docs` supplies the text (the store holds postings, not
+        documents). The page's doc_ids are collected (k rows — bounded
+        by construction) to drive the O(page) snippet path. `snippet`
+        is NULL for a hit that does not contain EVERY query term (the
+        min-window needs all of them); the fallback display is the
+        caller's choice."""
+        from .fulltext.positional import snippets_for_docs
+
+        pos = positional if positional is not None else self._positional()
+        if pos is None:
+            raise ValueError(
+                "serp needs a positional sidecar: call "
+                "build_positional(docs) first (or pass positional=)"
+            )
+        hits = self.search(query_text, k=k)
+        page = [r["doc_id"] for r in hits.collect()]  # k-bounded
+        snips = snippets_for_docs(
+            self.conn.spark,
+            pos.postings(self.conn.spark),
+            docs,
+            query_text,
+            page,
+            pad=pad,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        return (
+            hits.join(
+                snips.select("doc_id", "snippet"), "doc_id", "left"
+            )
+            .select("rank", "doc_id", "score", "snippet")
+            .orderBy("rank")
+        )
+
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
         """Prefix completion over this corpus's vocabulary: top-k terms
         starting with `prefix` by live document frequency -> (term,

@@ -270,3 +270,47 @@ def test_parse_query_properties():
         )
 
     check()
+
+
+def test_facade_serp(spark, tmp_path):
+    """serp() == search() + snippets_for_docs composition; snippet NULL
+    for hits missing a query term; raises without a sidecar."""
+    from fornax_spark import Connection
+    from fornax_spark.fulltext.positional import snippets_for_docs
+
+    conn = Connection(str(tmp_path / "fx"), spark)
+    docs = _mk_docs(120, seed=37)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    c = conn.create_corpus("serp").build(df, n_buckets=4)
+    with pytest.raises(ValueError, match="positional sidecar"):
+        c.serp("spark join", df)
+    c.build_positional(df)
+
+    q = "spark join"
+    out = c.serp(q, df, k=6, pad=2).collect()
+    hits = c.search(q, k=6).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in out] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in hits
+    ]
+    pos = c._positional()
+    want = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_docs(
+            spark, pos.postings(spark), df, q,
+            [r["doc_id"] for r in hits], pad=2,
+        ).collect()
+    }
+    text = dict(docs)
+    for r in out:
+        assert r["snippet"] == want.get(r["doc_id"])
+        toks = tokenize(text[r["doc_id"]])
+        if r["snippet"] is not None:
+            # snippet is a contiguous token slice of the doc
+            st = r["snippet"].split(" ")
+            assert any(
+                toks[i : i + len(st)] == st
+                for i in range(len(toks) - len(st) + 1)
+            )
+        else:
+            # NULL only when some query term is absent from the doc
+            assert not set(tokenize(q)) <= set(toks)
