@@ -94,9 +94,15 @@ class CorpusStats:
 
 def docs_with_tokens(pages: DataFrame, from_html: bool = True) -> DataFrame:
     """pages -> (doc_id, dl, tcounts). doc_id is JVM-side xxhash64(url);
-    tcounts = per-doc (term, tf) pairs from the one-pass tokenizer."""
+    tcounts = per-doc (term, tf) pairs from the one-pass tokenizer.
+
+    Input is fanned out (functions.fan_out): a one-row-group corpus file
+    scans as a single partition and would serialize the tokenizer UDF on
+    one core; no-op for already-parallel scans."""
+    from ..functions import fan_out
+
     text_col = extract_udf(F.col("html")) if from_html else F.col("text")
-    return pages.select(
+    return fan_out(pages).select(
         F.xxhash64(F.col("url")).alias("doc_id"),
         term_counts_udf(text_col).alias("tcounts"),
     ).withColumn(
@@ -154,8 +160,12 @@ def docs_from_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Adapter: any (id, text) table -> (doc_id, dl, tcounts) using the
-    shared tokenizer (for corpora that already carry extracted text)."""
-    return df.select(
+    shared tokenizer (for corpora that already carry extracted text).
+    Fanned out like docs_with_tokens — the tokenizer is the expensive
+    per-row kernel of the whole build."""
+    from ..functions import fan_out
+
+    return fan_out(df).select(
         F.col(id_col).cast("long").alias("doc_id"),
         term_counts_udf(F.col(text_col)).alias("tcounts"),
     ).withColumn(

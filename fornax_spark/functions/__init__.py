@@ -14,10 +14,37 @@ from __future__ import annotations
 
 from hashlib import blake2b
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _MASK63 = (1 << 63) - 1
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before
+    CPU-heavy per-row work (tokenizers, signature UDFs, shingle builds).
+
+    Small corpora — one parquet row group, a handful of splits — scan as
+    1-6 partitions no matter how many cores exist, which serializes every
+    downstream map/UDF pipeline on one core. This repartitions such
+    inputs to defaultParallelism; it is a NO-OP whenever the input is
+    already at least that parallel (the normal case at scale, where a
+    scan has hundreds of splits), so the added exchange only ever fires
+    when it is by construction small.
+
+    Callers should hand this a scan-level frame (table read, optionally
+    projected/filtered): the partition probe walks the physical plan, and
+    probing through an adaptive plan with upstream exchanges could
+    materialize those stages early. All in-repo call sites comply.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:  # noqa: BLE001 — probe failure: keep the input as-is
+        return df
+    return df.repartition(n)
 
 
 def stable_hash64(s: str | bytes, seed: int = 0) -> int:

@@ -138,14 +138,19 @@ def with_shingles(
 
     Uses functions.bind because ProjectCollapse would otherwise inline
     the tokenizer into every element_at of the n-gram transform
-    (observed: O(len^2) regex work, 24ms/doc -> ~0.1ms/doc fixed)."""
-    from ..functions import bind
+    (observed: O(len^2) regex work, 24ms/doc -> ~0.1ms/doc fixed).
+
+    The input is fanned out first (functions.fan_out): a one-row-group
+    corpus file otherwise runs the whole tokenize+shingle pipeline — and
+    everything downstream of a broadcast self-join — on a single core.
+    """
+    from ..functions import bind, fan_out
 
     shingles = bind(
         tokens_col(text_col),
         lambda toks: F.array_distinct(ngrams_from_tokens(toks, n)),
     )
-    return df.select(F.col(id_col).alias("id"), shingles.alias("shset"))
+    return fan_out(df).select(F.col(id_col).alias("id"), shingles.alias("shset"))
 
 
 def ngram_jaccard_pairs(
@@ -161,6 +166,16 @@ def ngram_jaccard_pairs(
     Plan: explode distinct shingles -> self-join on shingle (skew-safe:
     shingle keys are near-unique under Zipf at n>=3) -> pair-count agg ->
     |A|+|B|-inter for the union. No pairwise cartesian anywhere.
+
+    Plan shape (guide §2.4): on corpora whose shingle table fits a
+    broadcast, the probe side is pre-partitioned by doc id so the join
+    output's HashPartitioning(id_a) already satisfies the pair-count
+    groupBy's clustering — the candidate-pair rows (the one data-sized
+    intermediate: dense corpora generate orders of magnitude more
+    candidates than input rows) are aggregated WITHOUT an exchange.
+    Past the broadcast gate the classic sort-merge self-join + pair agg
+    runs instead, which is the scalable shape at corpus sizes where no
+    side can be broadcast.
     """
     # materialize shingles ONCE (the regexp+transform subtree is the
     # expensive part; without persist the self-join recomputes it 3x),
@@ -172,8 +187,16 @@ def ngram_jaccard_pairs(
     )
     sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # ~16 B/row cached; gate well under the default broadcast caps
+    spark = df.sparkSession
+    n_rows = sh.count()
+    if n_rows <= 16_000_000:
+        para = spark.sparkContext.defaultParallelism
+        a = sh.repartition(para, "id").alias("a")
+        b = F.broadcast(sh).alias("b")
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -245,18 +268,37 @@ def minhash_signatures(
     """(id, sig array<long>) via ONE Arrow-vectorized pandas UDF over the
     raw text (shingling happens Python-side through the shared tokenizer
     — a pandas UDF cannot consume a higher-order lambda expression, and
-    this keeps one code path with the pytest oracle)."""
+    this keeps one code path with the pytest oracle).
+
+    Math is identical to minhash_signature row by row; the UDF caches
+    shingle hashes across rows/batches of a task (guide §4.5 — shingle
+    vocabularies are Zipf, so each distinct shingle is hashed once per
+    task instead of once per occurrence)."""
+    from ..functions import fan_out
     from ..fulltext.textproc import tokenize
+
+    a, b = _perm_params(num_perm, seed)
+    hash_cache: dict[str, int] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(text: pd.Series) -> pd.Series:
-        return text.map(
-            lambda s: minhash_signature(
-                ngrams_py(tokenize(s), n), num_perm, seed
-            ).tolist()
-        )
+        def h(s: str) -> int:
+            v = hash_cache.get(s)
+            if v is None:
+                v = hash_cache[s] = stable_hash64(s) & _MERSENNE31
+            return v
 
-    return df.select(
+        def sig(s: str) -> list[int]:
+            sh = set(ngrams_py(tokenize(s), n))
+            if not sh:
+                return [_MERSENNE31] * num_perm
+            base = np.fromiter((h(x) for x in sh), dtype=np.int64, count=len(sh))
+            vals = (base[None, :] * a[:, None] + b[:, None]) % _MERSENNE31
+            return vals.min(axis=1).astype(np.int64).tolist()
+
+        return text.map(sig)
+
+    return fan_out(df).select(
         F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig")
     )
 
@@ -357,14 +399,84 @@ def simhash64(tokens: list[str]) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
+def _token_bits(tok: str, cache: dict) -> np.ndarray:
+    """(64,) int8 bit vector of stable_hash64(tok, seed=7) — the per-token
+    quantity simhash64 votes with, cached across rows of a task."""
+    bits = cache.get(tok)
+    if bits is None:
+        h = stable_hash64(tok, seed=7)
+        bits = np.unpackbits(
+            np.frombuffer(int(h).to_bytes(8, "little"), dtype=np.uint8),
+            bitorder="little",
+        ).astype(np.int8)
+        cache[tok] = bits
+    return bits
+
+
+def simhash64_batch(tok_rows: list, cache: dict | None = None) -> np.ndarray:
+    """Vectorized batch form of simhash64: one numpy pass over every
+    token occurrence in the batch instead of per-row Counter loops.
+
+    Bit i's vote is sum over token OCCURRENCES of (2*bit_i(hash) - 1) —
+    identical to simhash64's tf-weighted sum over DISTINCT tokens (a
+    tf-weighted sum over distincts IS the plain sum over occurrences).
+    Equality with simhash64 row-by-row is pinned in tests.
+    """
+    if cache is None:
+        cache = {}
+    n = len(tok_rows)
+    lens = np.fromiter((len(r) for r in tok_rows), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    out = np.zeros(n, dtype=np.int64)
+    if total == 0:
+        return out
+    # unique-token indirection: hash/unpack each distinct token once
+    uniq: dict[str, int] = {}
+    idx = np.empty(total, dtype=np.int32)
+    k = 0
+    for row in tok_rows:
+        for t in row:
+            j = uniq.get(t)
+            if j is None:
+                j = uniq[t] = len(uniq)
+            idx[k] = j
+            k += 1
+    H = np.empty((len(uniq), 64), dtype=np.int8)
+    for t, j in uniq.items():
+        H[j] = _token_bits(t, cache)
+    M = H[idx].astype(np.int32)  # (total, 64) bit matrix per occurrence
+    # reduceat mis-handles empty segments (repeated offsets return a
+    # neighbouring row; a trailing empty would clip into the previous
+    # row's last token) — so compact empty rows out first: their vote
+    # sum is 0 by definition, i.e. simhash 0, already in `out`.
+    nz = lens > 0
+    lens_nz = lens[nz]
+    offsets = np.zeros(len(lens_nz), dtype=np.int64)
+    np.cumsum(lens_nz[:-1], out=offsets[1:])
+    sums = np.add.reduceat(M, offsets, axis=0)
+    votes = 2 * sums - lens_nz[:, None]
+    packed = np.packbits((votes > 0).astype(np.uint8), axis=1, bitorder="little")
+    out[nz] = packed.view(np.int64).reshape(len(lens_nz))  # 2's compl == signed fold
+    return out
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
+    from ..functions import fan_out
+
+    bit_cache: dict[str, np.ndarray] = {}
+
     @F.pandas_udf(T.LongType())
     def sim_udf(toks: pd.Series) -> pd.Series:
-        return toks.map(lambda ts: simhash64(list(ts)))
+        return pd.Series(
+            simhash64_batch([list(ts) for ts in toks], bit_cache),
+            index=toks.index,
+        )
 
-    return df.select(F.col(id_col).alias("id"), sim_udf(tokens_col(text_col)).alias("simhash"))
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), sim_udf(tokens_col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:

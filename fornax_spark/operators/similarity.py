@@ -42,9 +42,13 @@ def cosine_scores(
     df: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, cosine) vs a constant query vector — JVM-side, scan-only."""
+    from ..functions import fan_out
+
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
-    return df.select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+    return fan_out(df).select(
+        F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine")
+    )
 
 
 def cosine_topk(
@@ -117,7 +121,9 @@ def cosine_topk_batch(
                 }
             )
 
-    partial = df.select(id_col, vec_col).mapInPandas(
+    from ..functions import fan_out
+
+    partial = fan_out(df.select(id_col, vec_col)).mapInPandas(
         gen, "query_id int, id long, cosine double"
     )
     from pyspark.sql import Window
@@ -254,8 +260,11 @@ def build_ann_index(
     vec_col: str = "embedding",
     persist: bool = True,
 ) -> AnnIndex:
+    from ..functions import fan_out
+
     sigs = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             _buckets_udf(dim, n_planes, n_tables, seed)(F.col(vec_col)).alias(
@@ -487,7 +496,9 @@ def build_ivf_index(
         )
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
-    assignments = df.select(
+    from ..functions import fan_out
+
+    assignments = fan_out(df).select(
         assign_udf(F.col(vec_col)).alias("cluster"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -591,29 +602,50 @@ def embedding_near_dup_pairs(
     """(id_a, id_b, cosine >= threshold) via LSH bucket equi-join +
     exact JVM re-rank. Never O(n^2): candidates are pairs colliding in
     ANY of `n_tables` hyperplane tables (equi-join on (table_id, bucket)
-    keys), deduplicated before the exact cosine verify."""
+    keys), deduplicated before the exact cosine verify.
+
+    Shuffle discipline (guide §2.3/§8): the candidate join and the
+    multi-table dedup move only (table_id, bucket, id) / (id_a, id_b) —
+    the vectors are attached AFTER dedup by joining the corpus back on
+    id, and per-vector norms are computed once per vector there instead
+    of once per candidate pair. Same arithmetic per surviving pair
+    (dot / (norm_a * norm_b) on identical doubles), so output is
+    bit-identical to the payload-carrying plan it replaces."""
     index = build_ann_index(
         df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=True
     )
-    sigs = index.sigs
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    pairs = (
+    keys = index.sigs.select("table_id", "bucket", "id")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])  # multi-table collisions
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    pairs = cand.join(
+        vecs.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)

@@ -106,6 +106,28 @@ def test_simhash(spark, docs_df):
         simhash_near_pairs(docs_df, max_hamming=10)
 
 
+def test_simhash_batch_kernel_equals_scalar():
+    # the vectorized batch kernel the serving UDF uses (r8 optimization)
+    # must equal the scalar oracle row by row, including empty rows in
+    # every position (reduceat segment-boundary edge cases)
+    import random
+
+    from fornax_spark.operators.dedup import simhash64, simhash64_batch
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = [[]]  # leading empty
+    for _ in range(300):
+        n = rng.choice([0, 1, 2, 7, 60, 200])
+        rows.append([rng.choice(vocab) for _ in range(n)])
+    rows += [[], ["tok0"], [], []]  # interior + trailing empties
+    got = simhash64_batch(rows)
+    for i, r in enumerate(rows):
+        assert got[i] == simhash64(r), i
+    assert list(simhash64_batch([])) == []
+    assert list(simhash64_batch([[], []])) == [0, 0]
+
+
 def test_cosine_topk_matches_numpy(spark):
     from fornax_spark.operators.similarity import cosine_topk
 
