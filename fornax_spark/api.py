@@ -1046,22 +1046,38 @@ class CorpusHandle:
             raise ValueError(
                 f"corpus {self.name!r} already has a positional sidecar"
             ) from None
-        write_positional_store(
-            self.conn.spark,
-            df.select(
-                F.col(doc_id_col).alias("doc_id"),
-                F.col(text_col).alias("text"),
-            ),
-            path,
-            n_partitions=n_partitions,
-        )
+        try:
+            write_positional_store(
+                self.conn.spark,
+                df.select(
+                    F.col(doc_id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                ),
+                path,
+                n_partitions=n_partitions,
+            )
+        except BaseException:
+            # roll the registry row back: a dangling row would make
+            # every retry raise 'already has a positional sidecar'
+            # while _positional() fails opening the half-written store
+            try:
+                reg.delete(name)
+            except KeyError:
+                pass
+            raise
         return self
 
     def _positional(self):
-        """The positional sidecar's PositionalStore, or None."""
+        """The positional sidecar's PositionalStore, or None. A row of
+        the wrong kind (an unrelated store registered under the sidecar
+        name) and a half-built store both count as absent."""
+        reg = self._registry()
+        name = f"{self.name}__positional"
         try:
-            return self._registry().open(f"{self.name}__positional")
-        except KeyError:
+            if reg.kind(name) != "positional":
+                return None
+            return reg.open(name)
+        except (KeyError, FileNotFoundError, ValueError):
             return None
 
     def search_query(
@@ -1166,7 +1182,12 @@ class CorpusHandle:
                 "build_positional(docs) first (or pass positional=)"
             )
         hits = self.search(query_text, k=k)
-        page = [r["doc_id"] for r in hits.collect()]  # k-bounded
+        rows = hits.collect()  # k-bounded
+        page = [r["doc_id"] for r in rows]
+        # re-joining `hits` below would execute the full BM25 plan a
+        # second time (the dominant cost of the verb); the page IS the
+        # k collected rows, so the join side is built from them
+        hits = self.conn.spark.createDataFrame(rows, hits.schema)
         snips = snippets_for_docs(
             self.conn.spark,
             pos.postings(self.conn.spark),
@@ -1390,7 +1411,11 @@ class CorpusHandle:
         sidecar = f"{self.name}__positional"
         self._registry().delete(self.corpus_id)
         try:
-            reg.delete(sidecar)
+            # only cascade onto a row that actually IS this corpus's
+            # positional sidecar — never rmtree an unrelated store a
+            # user registered under the same name
+            if reg.kind(sidecar) == "positional":
+                reg.delete(sidecar)
         except KeyError:
             pass
 

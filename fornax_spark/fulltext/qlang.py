@@ -31,6 +31,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .textproc import tokenize
 
@@ -170,18 +171,33 @@ def search_query_segments(
     """search_query served from durable stores: `store` is a
     SegmentStore (lexical legs via the decoded pushed-filter view,
     tombstone-shifted stats); `positional` is a PositionalStore for
-    phrase clauses."""
-    from .wand import _store_as_index
+    phrase clauses. The positional sidecar is an independent store not
+    rewritten by corpus delete_docs, so its postings are anti-joined
+    against the segment store's tombstone set here — phrase-only
+    results honour the same tombstone-shifted serving guarantee as
+    every other store-backed verb (stats are already shifted via
+    _store_as_index)."""
+    from .wand import _store_as_index, _store_tombstones
 
     p = parse_query(q)
     terms = sorted(set(p.scored_terms) | set(p.must_not))
     idx = _store_as_index(spark, store, terms or ["\x00none"])
+    pos_postings = (
+        positional.postings(spark) if positional is not None else None
+    )
+    if pos_postings is not None:
+        tomb, _, _ = _store_tombstones(store)
+        if tomb is not None:
+            deleted = spark.createDataFrame(
+                [(int(d),) for d in tomb.doc_ids], "doc_id long"
+            )
+            pos_postings = pos_postings.join(
+                F.broadcast(deleted), "doc_id", "left_anti"
+            )
     return search_query(
         spark,
         idx,
         q,
         k=k,
-        positional_postings=(
-            positional.postings(spark) if positional is not None else None
-        ),
+        positional_postings=pos_postings,
     )

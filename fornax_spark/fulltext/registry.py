@@ -81,6 +81,13 @@ class Registry:
                 return k, cat
         raise KeyError(f"no corpus {key!r} in registry {self.root}")
 
+    def kind(self, key: int | str) -> str:
+        """The registered store kind of a row (KeyError when absent) —
+        lets callers type-check a name before opening or cascading a
+        delete onto it."""
+        k, cat = self._resolve(key)
+        return cat["corpora"][k].get("kind", "segments")
+
     def open(self, key: int | str, spark=None):
         """Open by id or name, dispatching on the row's kind:
         segments -> SegmentStore, ann_lsh -> AnnIndex,

@@ -353,10 +353,14 @@ def minhash_dedup_pairs(
     (id_a, id_b, jaccard >= threshold)."""
     rows = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, n, seed)
-    sigs.persist()  # referenced twice by the band self-join
+    # persist AND materialize: the band self-join references sigs twice
+    # and the verify joins sets_df twice — without an eager fill, one
+    # action races 2x/2x parallel recomputations of the signature and
+    # shingle UDFs before the cache is populated (guide §5)
+    sigs.persist().count()
     cands = lsh_candidate_pairs(sigs, bands, rows)
     sets_df = with_shingles(df, id_col, text_col, n)
-    sets_df.persist()  # joined twice (id_a / id_b sides)
+    sets_df.persist().count()
     out = (
         cands.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
@@ -486,7 +490,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     hamming<=3 agrees on >=1 chunk) -> equi-join per chunk, verify
     exact distance with bit_count (JVM)."""
     sigs = simhash_signatures(df, id_col, text_col)
-    sigs.persist()  # chunk explode + self-join would recompute the UDF
+    # persist and materialize eagerly: the chunk self-join scans sigs
+    # twice, which would otherwise race two parallel recomputations of
+    # the signature UDF before the cache fills
+    sigs.persist().count()
     return simhash_pairs_from_signatures(sigs, max_hamming)
 
 

@@ -41,13 +41,23 @@ def _norm(a):
 def cosine_scores(
     df: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, cosine) vs a constant query vector — JVM-side, scan-only."""
+    """(id, cosine) vs a constant query vector — JVM-side, scan-only.
+
+    Zero-norm policy: a zero-norm vector (corpus row or query) has no
+    defined cosine (0/0 — an ANSI-mode arithmetic error on the JVM, NaN
+    in the numpy batch kernel); such rows are DROPPED rather than ranked
+    or raised, in BOTH the per-query and batch paths. try_divide keeps
+    the arithmetic identical for every non-zero divisor."""
     from ..functions import fan_out
 
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
-    return fan_out(df).select(
-        F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine")
+    cos = F.try_divide(
+        _dot(F.col(vec_col), q), _norm(F.col(vec_col)) * _norm(q)
+    )
+    return (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
 
 
@@ -87,7 +97,9 @@ def cosine_topk_batch(
     final per-query window carries ≤ n_batches · N · depth rows — the
     corpus itself is scanned once and never shuffled. Cosines are
     rounded to 6 dp BEFORE ranking, matching cosine_scores' contract,
-    so batch ranks == per-query cosine_topk ranks."""
+    so batch ranks == per-query cosine_topk ranks — including the NaN
+    policy: zero-norm vectors are dropped in both paths (a zero-norm
+    QUERY likewise returns no rows)."""
     q = np.asarray(query_vecs, dtype=np.float64)
     if q.ndim != 2 or not len(q):
         raise ValueError("cosine_topk_batch: need a non-empty N x d matrix")
@@ -103,13 +115,15 @@ def cosine_topk_batch(
             )
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             vn = np.linalg.norm(v, axis=1)
-            # 0/0 -> nan, exactly like the JVM expression's behavior
+            # NaN policy (matches cosine_scores): zero-norm vectors
+            # have no defined cosine and are dropped, never ranked
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.round((v @ q.T) / np.outer(vn, qn), 6)
             out_q, out_i, out_c = [], [], []
             for j in range(n_q):
                 col = cos[:, j]
-                order = np.lexsort((ids, -col))[:depth]
+                valid = np.flatnonzero(~np.isnan(col))
+                order = valid[np.lexsort((ids[valid], -col[valid]))[:depth]]
                 out_q.append(np.full(len(order), j, dtype=np.int32))
                 out_i.append(ids[order])
                 out_c.append(col[order])
@@ -614,19 +628,25 @@ def embedding_near_dup_pairs(
     index = build_ann_index(
         df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=True
     )
+    # materialize the persisted signatures before the self-join scans
+    # them twice (otherwise one action races two parallel bucket-UDF
+    # recomputations before the cache fills)
+    n_sigs = index.sigs.count()
     keys = index.sigs.select("table_id", "bucket", "id")
     a = keys.alias("a")
-    b = keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])  # multi-table collisions
-    )
+    # size-gated explicit broadcast: the un-hinted plan sort-merges on
+    # (table_id, bucket), whose tiny shuffle inputs AQE coalesces to ~1
+    # partition — serializing the (much larger) join OUTPUT and the
+    # cosine verify behind it. Broadcasting the ~24B/row key side keeps
+    # the probe on the fanned-out cache partitions; past the gate the
+    # sort-merge shape is the right one anyway.
+    b = (F.broadcast(keys) if n_sigs <= 16_000_000 else keys).alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.table_id") == F.col("b.table_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("nrm", _norm(F.col("vec")))
@@ -645,9 +665,16 @@ def embedding_near_dup_pairs(
         ),
         "id_b",
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # try_divide: a zero-norm pair has no defined cosine -> NULL, which
+    # the threshold filter drops (identical arithmetic otherwise)
+    cos = F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        # multi-table collision dedup AFTER the selective threshold
+        # filter: cosine is a pure per-pair function, so dedup-late ==
+        # dedup-early row for row — but the exchange now moves only the
+        # few surviving pairs instead of every candidate (guide §2.3)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -148,6 +148,39 @@ def test_cosine_topk_matches_numpy(spark):
         assert c == pytest.approx(sims[wi], abs=1e-6)
 
 
+def test_cosine_zero_norm_policy_batch_equals_single(spark):
+    """NaN policy (ADVICE r7): a zero-norm embedding must never rank —
+    and the batch and per-query paths must agree on that, not diverge
+    (Spark sorts NaN first on desc, numpy lexsort sorts it last)."""
+    from fornax_spark.operators.similarity import cosine_topk, cosine_topk_batch
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 8))
+    vecs[7] = 0.0  # zero-norm corpus row
+    q = [list(map(float, rng.standard_normal(8))) for _ in range(3)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    batch = cosine_topk_batch(df, q, depth=10)
+    for j, qv in enumerate(q):
+        single = [
+            (r["id"], r["cosine"]) for r in cosine_topk(df, qv, k=10).collect()
+        ]
+        got = [
+            (r["id"], r["cosine"])
+            for r in batch.filter(F.col("query_id") == j)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == single, f"query {j}"
+        assert all(i != 7 for i, _ in got)  # the zero-norm row never ranks
+    # zero-norm QUERY -> no rows in both paths
+    z = [0.0] * 8
+    assert cosine_topk(df, z, k=5).count() == 0
+    assert cosine_topk_batch(df, [z], depth=5).count() == 0
+
+
 def test_ann_lsh_recall(spark):
     """Recall on PLANTED near neighbors (cos >= ~0.9) — the regime LSH
     is built for; random-vector recall is theory-limited."""
