@@ -58,8 +58,15 @@ def get_spark(
         # small-file corpora (test/bench parquet is a few MB) otherwise
         # scan as ONE partition and serialize the UDF pipeline; 8 MB
         # splits keep every core fed. On a real cluster with 100 MB+
-        # row groups the default 128 MB is fine — callers override.
-        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # row groups, larger splits (512 MB-1 GB, guide §6) cut task
+        # scheduling and shuffle-block counts — parameterised via
+        # $SPARK_GRAFT_MAX_PARTITION_BYTES rather than hard-coded.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)
+            ),
+        )
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
