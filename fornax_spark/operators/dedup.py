@@ -178,14 +178,18 @@ def ngram_jaccard_pairs(
     side can be broadcast.
     """
     # materialize shingles ONCE (the regexp+transform subtree is the
-    # expensive part; without persist the self-join recomputes it 3x),
-    # and join on the 8-byte shingle hash, not the string
+    # expensive part; without it the self-join recomputes it 3x), and
+    # join on the 8-byte shingle hash, not the string. localCheckpoint
+    # instead of persist: eager (no double-compute race across the
+    # branches that scan it) and its blocks are ContextCleaner-freed
+    # when the returned frame is GC'd — a persist here has no
+    # unpersist() owner and would accumulate across repeated calls.
     sh = (
         with_shingles(df, id_col, text_col, n)
         .select("id", F.explode("shset").alias("shingle"))
         .select("id", F.xxhash64("shingle").alias("sh"))
+        .localCheckpoint(eager=True)
     )
-    sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # ~16 B/row cached; gate well under the default broadcast caps
     spark = df.sparkSession
@@ -352,15 +356,17 @@ def minhash_dedup_pairs(
     """LSH candidates verified by exact shingle Jaccard (JVM set ops):
     (id_a, id_b, jaccard >= threshold)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, n, seed)
-    # persist AND materialize: the band self-join references sigs twice
-    # and the verify joins sets_df twice — without an eager fill, one
-    # action races 2x/2x parallel recomputations of the signature and
-    # shingle UDFs before the cache is populated (guide §5)
-    sigs.persist().count()
+    # localCheckpoint (eager): the band self-join references sigs twice
+    # and the verify joins sets_df twice — a lazy persist would race
+    # 2x/2x parallel recomputations of the signature and shingle UDFs
+    # before the cache fills, and has no unpersist() owner here, so it
+    # would also accumulate across calls (blocks here are freed by the
+    # ContextCleaner when the result frame is GC'd)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, n, seed
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets_df = with_shingles(df, id_col, text_col, n)
-    sets_df.persist().count()
+    sets_df = with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     out = (
         cands.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
@@ -489,11 +495,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
     hamming<=3 agrees on >=1 chunk) -> equi-join per chunk, verify
     exact distance with bit_count (JVM)."""
-    sigs = simhash_signatures(df, id_col, text_col)
-    # persist and materialize eagerly: the chunk self-join scans sigs
-    # twice, which would otherwise race two parallel recomputations of
-    # the signature UDF before the cache fills
-    sigs.persist().count()
+    # localCheckpoint (eager): the chunk self-join scans sigs twice —
+    # see minhash_dedup_pairs for why this beats an ownerless persist
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     return simhash_pairs_from_signatures(sigs, max_hamming)
 
 

@@ -47,6 +47,19 @@ ASSET_SCHEMA = T.StructType(
 )
 
 
+def _asset_rows(assets: DataFrame, kind: str, cols: tuple[str, ...]) -> DataFrame:
+    """Scan-side prep for the decode kernels (guide §4.1/§2.3): filter
+    the asset kind in the JVM (pushes to the parquet scan, so other
+    kinds' PAYLOAD BYTES never cross the Python boundary just to be
+    skipped), project only the columns the kernel reads (mapInPandas is
+    opaque — Spark would otherwise ship every column), and fan out
+    under-partitioned inputs so decodes use every core. The kernels
+    keep their own kind guard as defense in depth."""
+    from ..functions import fan_out
+
+    return fan_out(assets.filter(F.col("kind") == kind).select(*cols))
+
+
 def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a real image decoder: expands payload
     bytes into a (height, width, 3) uint8 array by seeded tiling. Replace
@@ -122,7 +135,9 @@ def image_features(
             T.StructField("feature", T.ArrayType(T.FloatType()), False),
         ]
     )
-    return assets.mapInPandas(run, out_schema)
+    return _asset_rows(assets, "image", ("asset_id", "kind", "payload", "meta")).mapInPandas(
+        run, out_schema
+    )
 
 
 def audio_features(
@@ -185,7 +200,9 @@ def audio_features(
             T.StructField("feature", T.ArrayType(T.FloatType()), False),
         ]
     )
-    return assets.mapInPandas(run, out_schema)
+    return _asset_rows(assets, "audio", ("asset_id", "kind", "payload")).mapInPandas(
+        run, out_schema
+    )
 
 
 def frame_sample(
@@ -224,7 +241,9 @@ def frame_sample(
             T.StructField("frame", T.BinaryType(), False),
         ]
     )
-    return assets.mapInPandas(run, out_schema)
+    return _asset_rows(assets, "video", ("asset_id", "kind", "payload", "meta")).mapInPandas(
+        run, out_schema
+    )
 
 
 def synthetic_assets(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -626,13 +626,16 @@ def embedding_near_dup_pairs(
     (dot / (norm_a * norm_b) on identical doubles), so output is
     bit-identical to the payload-carrying plan it replaces."""
     index = build_ann_index(
-        df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=True
+        df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=False
     )
-    # materialize the persisted signatures before the self-join scans
-    # them twice (otherwise one action races two parallel bucket-UDF
-    # recomputations before the cache fills)
-    n_sigs = index.sigs.count()
-    keys = index.sigs.select("table_id", "bucket", "id")
+    # eager localCheckpoint instead of the index's persist: the
+    # self-join scans the signatures twice (a lazy cache would race two
+    # parallel bucket-UDF recomputations), and this one-shot pipeline
+    # has no owner to unpersist a cache — checkpoint blocks are freed
+    # when the result frame is GC'd
+    sigs = index.sigs.localCheckpoint(eager=True)
+    n_sigs = sigs.count()
+    keys = sigs.select("table_id", "bucket", "id")
     a = keys.alias("a")
     # size-gated explicit broadcast: the un-hinted plan sort-merges on
     # (table_id, bucket), whose tiny shuffle inputs AQE coalesces to ~1
