@@ -87,7 +87,12 @@ def build_positional_postings(
     Narrow map + explode, no shuffle (see module docstring). dl is
     denormalized per posting exactly as in build.py so BM25-style
     scoring over the positional index needs no doc-length join.
+    Input fanned out like build.docs_from_table — the positional
+    tokenizer is the expensive per-row kernel of the sidecar build.
     """
+    from ..functions import fan_out
+
+    docs = fan_out(docs)
     with_pos = docs.select(
         F.col(id_col).alias("doc_id"),
         term_positions_udf(F.col(text_col)).alias("tpos"),

@@ -177,22 +177,21 @@ def ngram_jaccard_pairs(
     runs instead, which is the scalable shape at corpus sizes where no
     side can be broadcast.
     """
-    # materialize shingles ONCE (the regexp+transform subtree is the
-    # expensive part; without it the self-join recomputes it 3x), and
-    # join on the 8-byte shingle hash, not the string. localCheckpoint
-    # instead of persist: eager (no double-compute race across the
-    # branches that scan it) and its blocks are ContextCleaner-freed
-    # when the returned frame is GC'd — a persist here has no
-    # unpersist() owner and would accumulate across repeated calls.
-    sh = (
-        with_shingles(df, id_col, text_col, n)
-        .select("id", F.explode("shset").alias("shingle"))
-        .select("id", F.xxhash64("shingle").alias("sh"))
-        .localCheckpoint(eager=True)
+    # The shingle pipeline (tokenize + n-gram transform + explode +
+    # xxhash) is evaluated independently by each consumer below instead
+    # of being materialized: measured at sf1.0 it costs ~1 s of fully
+    # parallel compute per evaluation, while persist has no unpersist()
+    # owner here (cache accumulates across calls) and an eager
+    # localCheckpoint pays a serialize job plus block churn that feeds
+    # driver full-GC pauses between the many jobs of this verb. Set
+    # sizes come straight from the distinct-shingle ARRAY (no groupBy).
+    ws = with_shingles(df, id_col, text_col, n)
+    sh = ws.select("id", F.explode("shset").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("sh")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    # ~16 B/row cached; gate well under the default broadcast caps
+    sizes = ws.select("id", F.size("shset").alias("sz"))
     spark = df.sparkSession
+    # ~16 B/row on the build side; gate well under the broadcast caps
     n_rows = sh.count()
     if n_rows <= 16_000_000:
         para = spark.sparkContext.defaultParallelism
@@ -356,12 +355,14 @@ def minhash_dedup_pairs(
     """LSH candidates verified by exact shingle Jaccard (JVM set ops):
     (id_a, id_b, jaccard >= threshold)."""
     rows = num_perm // bands
-    # localCheckpoint (eager): the band self-join references sigs twice
-    # and the verify joins sets_df twice — a lazy persist would race
-    # 2x/2x parallel recomputations of the signature and shingle UDFs
-    # before the cache fills, and has no unpersist() owner here, so it
-    # would also accumulate across calls (blocks here are freed by the
-    # ContextCleaner when the result frame is GC'd)
+    # Eager localCheckpoint, chosen by measurement over the two
+    # alternatives: a lazy persist has no unpersist() owner here (cache
+    # accumulates across calls) and races 2x/2x parallel recomputations
+    # of the signature/shingle UDFs before it fills; NO materialization
+    # leaves the post-UDF frames without real size stats, so the band
+    # self-join loses its broadcast and AQE coalesces the tiny shuffle
+    # inputs under the (much larger) join output. Checkpoint blocks are
+    # freed by the ContextCleaner when the result frame is GC'd.
     sigs = minhash_signatures(
         df, id_col, text_col, num_perm, n, seed
     ).localCheckpoint(eager=True)
@@ -495,8 +496,9 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     Scale path: block on 4 16-bit chunks (pigeonhole: any pair within
     hamming<=3 agrees on >=1 chunk) -> equi-join per chunk, verify
     exact distance with bit_count (JVM)."""
-    # localCheckpoint (eager): the chunk self-join scans sigs twice —
-    # see minhash_dedup_pairs for why this beats an ownerless persist
+    # Eager localCheckpoint: the chunk self-join scans sigs twice, and
+    # the materialized frame's REAL size stats are what let the planner
+    # broadcast it — see minhash_dedup_pairs for the measured tradeoff
     sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     return simhash_pairs_from_signatures(sigs, max_hamming)
 

@@ -28,6 +28,8 @@ def _dot(a, b):
     )
 
 
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(
@@ -625,17 +627,19 @@ def embedding_near_dup_pairs(
     of once per candidate pair. Same arithmetic per surviving pair
     (dot / (norm_a * norm_b) on identical doubles), so output is
     bit-identical to the payload-carrying plan it replaces."""
+    # Eager localCheckpoint of the KEY COLUMNS ONLY (the vectors never
+    # need to ride the candidate join): materialization both avoids
+    # recomputing the bucket UDF per consumer and gives the planner
+    # real size stats; measured, the un-materialized form loses its
+    # broadcast/partitioning shape and runs ~2x slower. Blocks are
+    # ContextCleaner-freed when the result frame is GC'd.
     index = build_ann_index(
         df, dim, n_planes, n_tables, seed, id_col, vec_col, persist=False
     )
-    # eager localCheckpoint instead of the index's persist: the
-    # self-join scans the signatures twice (a lazy cache would race two
-    # parallel bucket-UDF recomputations), and this one-shot pipeline
-    # has no owner to unpersist a cache — checkpoint blocks are freed
-    # when the result frame is GC'd
-    sigs = index.sigs.localCheckpoint(eager=True)
-    n_sigs = sigs.count()
-    keys = sigs.select("table_id", "bucket", "id")
+    keys = index.sigs.select("table_id", "bucket", "id").localCheckpoint(
+        eager=True
+    )
+    n_sigs = keys.count()
     a = keys.alias("a")
     # size-gated explicit broadcast: the un-hinted plan sort-merges on
     # (table_id, bucket), whose tiny shuffle inputs AQE coalesces to ~1
@@ -669,7 +673,11 @@ def embedding_near_dup_pairs(
         "id_b",
     )
     # try_divide: a zero-norm pair has no defined cosine -> NULL, which
-    # the threshold filter drops (identical arithmetic otherwise)
+    # the threshold filter drops (identical arithmetic otherwise).
+    # Measured dead end (left for the record): unrolling the dot into a
+    # flat 64-term expression ran 7x SLOWER than the higher-order
+    # aggregate — the ~200-node tree falls out of whole-stage codegen
+    # and interprets every node, while aggregate's loop stays tight.
     cos = F.try_divide(_dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
