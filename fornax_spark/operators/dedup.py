@@ -191,20 +191,35 @@ def ngram_jaccard_pairs(
     )
     sizes = ws.select("id", F.size("shset").alias("sz"))
     spark = df.sparkSession
-    # ~16 B/row on the build side; gate well under the broadcast caps
+    # total id bytes on the build side; gate well under broadcast caps
     n_rows = sh.count()
     if n_rows <= 16_000_000:
+        # Broadcast the GROUPED form (shingle -> id array): same bytes
+        # but ~two orders of magnitude fewer hash-relation entries than
+        # broadcasting the exploded rows, so the per-call driver build
+        # is fast and the relation is far less full-GC fodder (this
+        # verb's wall time was dominated by driver pauses between its
+        # jobs, not task time — see OPTIMIZATION_r08.md). The probe
+        # stays pre-partitioned by doc id so the pair-count groupBy
+        # needs NO exchange of the candidate rows, and the partner
+        # explode + id_b > id_a filter are pure codegen.
         para = spark.sparkContext.defaultParallelism
-        a = sh.repartition(para, "id").alias("a")
-        b = F.broadcast(sh).alias("b")
+        grouped = sh.groupBy("sh").agg(F.collect_list("id").alias("ids"))
+        pairs = (
+            sh.repartition(para, "id")
+            .join(F.broadcast(grouped), "sh")
+            .select(F.col("id").alias("id_a"), F.explode("ids").alias("id_b"))
+            .filter(F.col("id_b") > F.col("id_a"))
+        )
     else:
+        # corpus too large for any broadcast: classic sort-merge
+        # self-join on the shingle hash + pair-count aggregation
         a = sh.alias("a")
         b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        pairs = a.join(
+            b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -367,7 +382,18 @@ def minhash_dedup_pairs(
         df, id_col, text_col, num_perm, n, seed
     ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets_df = with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # verify on the 8-byte shingle HASHES, not the strings: |A∩B|/|A∪B|
+    # is unchanged (same ~2^-64/pair collision exposure the exact
+    # ngram_jaccard_pairs path already accepts by joining on
+    # xxhash64(shingle)), the checkpoint shrinks ~5-10x, and the
+    # array_intersect/union compares become long compares
+    sets_df = (
+        with_shingles(df, id_col, text_col, n)
+        .select(
+            "id", F.transform("shset", lambda x: F.xxhash64(x)).alias("shset")
+        )
+        .localCheckpoint(eager=True)
+    )
     out = (
         cands.join(sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
