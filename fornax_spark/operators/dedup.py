@@ -191,9 +191,16 @@ def ngram_jaccard_pairs(
     )
     sizes = ws.select("id", F.size("shset").alias("sz"))
     spark = df.sparkSession
-    # total id bytes on the build side; gate well under broadcast caps
-    n_rows = sh.count()
-    if n_rows <= 16_000_000:
+    # Plan gate on TOTAL TEXT BYTES — a pure-codegen scan ~10x cheaper
+    # than counting shingle rows (which tokenizes the whole corpus just
+    # to pick a plan). Shingle rows are bounded by token count, i.e.
+    # by chars/~5, so <=120 MB of text keeps the grouped broadcast
+    # comfortably under Spark's relation caps; anything larger takes
+    # the sort-merge shape.
+    total_chars = (
+        df.agg(F.sum(F.length(F.col(text_col)))).collect()[0][0] or 0
+    )
+    if total_chars <= 120_000_000:
         # Broadcast the GROUPED form (shingle -> id array): same bytes
         # but ~two orders of magnitude fewer hash-relation entries than
         # broadcasting the exploded rows, so the per-call driver build
